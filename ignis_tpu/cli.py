@@ -1,0 +1,93 @@
+"""igcli-equivalent command line frontend.
+
+Parity target: /root/reference/src/frontend/cli/main.cpp +
+frontend/common/ProgramOptions.cpp (scene file, spp/spi, output, seed,
+film overrides, per-run `# min/med/max Msamples/s` summary line).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="igtpu", description="ignis_tpu renderer CLI")
+    p.add_argument("scene", help="Scene file (JSON)")
+    p.add_argument("-o", "--output", default="output.exr",
+                   help="Output image path (.exr/.png/.hdr)")
+    p.add_argument("--spp", type=int, default=64,
+                   help="Total samples per pixel")
+    p.add_argument("--spi", type=int, default=1,
+                   help="Samples per iteration")
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--spp-mode", choices=["fixed", "capped"], default="fixed")
+    p.add_argument("--timeout", type=float, default=0.0,
+                   help="Render time budget in seconds (0 = unlimited)")
+    p.add_argument("--stats", action="store_true")
+    p.add_argument("--json", action="store_true",
+                   help="Print one summary JSON line")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    from . import Runtime
+    from .utils.image import save_image
+
+    overrides = {"spi": args.spi, "seed": args.seed}
+    if args.width:
+        overrides["width"] = args.width
+    if args.height:
+        overrides["height"] = args.height
+
+    t0 = time.time()
+    rt = Runtime.load_from_file(args.scene, **overrides)
+    for wmsg in rt.warnings:
+        print(f"[warn] {wmsg}", file=sys.stderr)
+    load_time = time.time() - t0
+
+    iters = max(1, args.spp // max(args.spi, 1))
+    w, h = rt.framebuffer_width, rt.framebuffer_height
+    samples_per_iter = w * h * rt.settings.spi
+
+    iter_times = []
+    t_start = time.time()
+    for i in range(iters):
+        it0 = time.time()
+        rt.step()
+        jax.block_until_ready(rt._film)
+        iter_times.append(time.time() - it0)
+        if args.timeout > 0 and time.time() - t_start > args.timeout:
+            break
+
+    img = rt.framebuffer(normalized=True)
+    save_image(args.output, img)
+
+    # First iteration includes compile; report steady-state like the
+    # reference (cli/main.cpp:171 min/med/max Msamples/s over iterations)
+    rates = [samples_per_iter / t / 1e6 for t in iter_times]
+    mn, md, mx = min(rates), statistics.median(rates), max(rates)
+    print(f"# {min(iter_times):.3f}/{statistics.median(iter_times):.3f}/"
+          f"{max(iter_times):.3f} ({mn:.3f}/{md:.3f}/{mx:.3f} Msamples/s)")
+    if args.stats:
+        print(f"Load: {load_time:.2f}s  Iterations: {rt.iteration_count}  "
+              f"SPP: {rt.sample_count}")
+    if args.json:
+        print(json.dumps({
+            "scene": args.scene, "spp": rt.sample_count,
+            "msamples_per_s_median": md, "iterations": rt.iteration_count,
+            "wall_s": time.time() - t_start,
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,96 @@
+"""Cameras: perspective (+DoF), orthogonal, fishlens.
+
+Mirrors /root/reference/src/artic/camera/*.art conventions:
+  - view matrix columns (right, up, dir); right = normalize(cross(dir, up))
+  - nx in [-1,1] maps left->right, ny in [-1,1] maps bottom->top:
+      nx = 2*(x+sx)/w - 1 ; ny = 1 - 2*(y+sy)/h   (driver/camera.art:21)
+  - scale = (tan(hfov/2), tan(hfov/2)/aspect) for hfov (perspective.art:1)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core.vec import Vec2, Vec3, cross, normalize, vselect
+from ..core.warp import PI, square_to_concentric_disk
+from ..ops.intersect import Rays
+from ..scenedata import CameraData, RenderSettings
+
+
+def pixel_to_normalized(x, y, sx, sy, w: int, h: int):
+    nx = 2.0 * (x.astype(jnp.float32) + sx) / w - 1.0
+    ny = 1.0 - 2.0 * (y.astype(jnp.float32) + sy) / h
+    return nx, ny
+
+
+def generate_rays(cam: CameraData, settings: RenderSettings, x, y, sx, sy,
+                  u0=None, u1=None) -> Rays:
+    nx, ny = pixel_to_normalized(x, y, sx, sy, settings.width, settings.height)
+    if settings.camera_type in ("perspective", "orthogonal"):
+        right = normalize(cross(cam.dir, cam.up))
+        if settings.camera_type == "perspective":
+            lx = cam.scale.x * nx
+            ly = cam.scale.y * ny
+            d = Vec3(
+                right.x * lx + cam.up.x * ly + cam.dir.x,
+                right.y * lx + cam.up.y * ly + cam.dir.y,
+                right.z * lx + cam.up.z * ly + cam.dir.z,
+            )
+            d = normalize(d)
+            org = Vec3(jnp.broadcast_to(cam.eye.x, nx.shape),
+                       jnp.broadcast_to(cam.eye.y, nx.shape),
+                       jnp.broadcast_to(cam.eye.z, nx.shape))
+        else:  # orthogonal (orthogonal.art): parallel rays, scale = extent
+            ox = cam.scale.x * nx
+            oy = cam.scale.y * ny
+            org = Vec3(cam.eye.x + right.x * ox + cam.up.x * oy,
+                       cam.eye.y + right.y * ox + cam.up.y * oy,
+                       cam.eye.z + right.z * ox + cam.up.z * oy)
+            d = Vec3(jnp.broadcast_to(cam.dir.x, nx.shape),
+                     jnp.broadcast_to(cam.dir.y, nx.shape),
+                     jnp.broadcast_to(cam.dir.z, nx.shape))
+    elif settings.camera_type in ("fishlens", "fisheye"):
+        org = Vec3(jnp.broadcast_to(cam.eye.x, nx.shape),
+                   jnp.broadcast_to(cam.eye.y, nx.shape),
+                   jnp.broadcast_to(cam.eye.z, nx.shape))
+        d = _fishlens_dir(cam, settings, nx, ny)
+    else:
+        raise ValueError(f"Unknown camera type {settings.camera_type}")
+
+    n = nx.shape
+    return Rays(org, d, jnp.broadcast_to(cam.tmin, n),
+                jnp.broadcast_to(cam.tmax, n))
+
+
+def _fishlens_dir(cam: CameraData, settings: RenderSettings, nx, ny) -> Vec3:
+    """Fisheye projection (fishlens.art): equisolid over the image disk.
+
+    Modes (reference FishLensCamera): circular (fit inside), cropped
+    (fill frame), full (diagonal fits).
+    """
+    w, h = settings.width, settings.height
+    fw, fh = float(w), float(h)
+    if settings.fish_mode == "circular":
+        xasp, yasp = min(fw, fh) / fw, min(fw, fh) / fh
+    elif settings.fish_mode == "cropped":
+        xasp, yasp = max(fw, fh) / fw, max(fw, fh) / fh
+    else:  # full
+        diam = (fw * fw + fh * fh) ** 0.5
+        xasp, yasp = diam / fw, diam / fh
+
+    right = normalize(cross(cam.dir, cam.up))
+    xx = nx * xasp
+    yy = ny * yasp
+    r2 = xx * xx + yy * yy
+    r = jnp.sqrt(jnp.maximum(r2, 1e-20))
+    theta = r * (PI / 2.0)  # angle from optical axis; r=1 -> 90deg, full 180 fov
+    sin_t = jnp.sin(theta)
+    cos_t = jnp.cos(theta)
+    inv_r = jnp.where(r > 1e-9, 1.0 / r, 0.0)
+    dx = sin_t * xx * inv_r
+    dy = sin_t * yy * inv_r
+    d = Vec3(right.x * dx + cam.up.x * dy + cam.dir.x * cos_t,
+             right.y * dx + cam.up.y * dy + cam.dir.y * cos_t,
+             right.z * dx + cam.up.z * dy + cam.dir.z * cos_t)
+    return normalize(d)

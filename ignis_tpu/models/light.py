@@ -1,0 +1,283 @@
+"""Light sampling / evaluation with masked kind dispatch.
+
+Semantics mirror /root/reference/src/artic/light/*.art (point, spot,
+directional, area, env, sun) in batched SoA form. Light selection is the
+uniform selector (light_selector.art:26); CDF/hierarchy selectors are layered
+on top via the `select_*` functions.
+
+Pdf convention (reference driver/light.art Pdf): every direct sample carries
+(pdf_value, pdf_is_area). Conversion to solid angle:
+    solid = value * dist^2 / cos        (area measure)
+    solid = value                       (already solid)
+"""
+from __future__ import annotations
+
+from enum import IntEnum
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core.cdf import CDF2D, pdf_cdf_2d, sample_cdf_2d
+from ..core.vec import (Color, Vec2, Vec3, black, cselect, cross, dot, gray,
+                        length, normalize, safe_div, vselect)
+from ..core.warp import (INV_4PI, PI, TWO_PI, dir_from_spherical,
+                         sample_uniform_sphere, spherical_from_dir,
+                         uniform_cone_pdf, sample_uniform_cone, sample_triangle)
+from ..core.frame import make_frame
+from ..scenedata import Lights, SceneData
+
+FLT_MAX = jnp.float32(3.0e38)
+
+
+class LightKind(IntEnum):
+    POINT = 0
+    SPOT = 1
+    DIRECTIONAL = 2
+    AREA = 3
+    ENV = 4        # constant (tex=-1) or textured with CDF2D
+    SUN = 5
+
+
+class LightParams(NamedTuple):
+    kind: jnp.ndarray
+    pos: Vec3
+    dir: Vec3
+    intensity: Color
+    p0: jnp.ndarray
+    p1: jnp.ndarray
+    tri_start: jnp.ndarray
+    tri_count: jnp.ndarray
+    tex: jnp.ndarray
+    delta: jnp.ndarray
+    infinite: jnp.ndarray
+
+
+class DirectSample(NamedTuple):
+    pos: Vec3          # point on the light (meaningless for infinite)
+    dir: Vec3          # unit direction surface -> light
+    intensity: Color   # already divided by the sample pdf
+    pdf_value: jnp.ndarray
+    pdf_is_area: jnp.ndarray
+    cos: jnp.ndarray   # cosine on the light side
+    dist: jnp.ndarray
+
+
+def gather_light(lights: Lights, idx) -> LightParams:
+    g = lambda a: a[idx]
+    return LightParams(
+        kind=g(lights.kind),
+        pos=Vec3(g(lights.pos.x), g(lights.pos.y), g(lights.pos.z)),
+        dir=Vec3(g(lights.dir.x), g(lights.dir.y), g(lights.dir.z)),
+        intensity=Color(g(lights.intensity.r), g(lights.intensity.g),
+                        g(lights.intensity.b)),
+        p0=g(lights.p0), p1=g(lights.p1),
+        tri_start=g(lights.tri_start), tri_count=g(lights.tri_count),
+        tex=g(lights.tex), delta=g(lights.delta), infinite=g(lights.infinite),
+    )
+
+
+def pdf_as_solid(pdf_value, pdf_is_area, cos, dist2):
+    area_as_solid = pdf_value * safe_div(dist2, cos)
+    return jnp.where(pdf_is_area, area_as_solid, pdf_value)
+
+
+# ---------------------------------------------------------------------------
+# Direct-connection sampling (NEE)
+# ---------------------------------------------------------------------------
+
+def sample_direct(scene: SceneData, lp: LightParams, from_point: Vec3,
+                  from_entering, u0, u1, eval_texture=None) -> DirectSample:
+    shape = lp.p0.shape
+    one = jnp.ones(shape, jnp.float32)
+    zero = jnp.zeros(shape, jnp.float32)
+    k = lp.kind
+
+    # -- point (point.art) --------------------------------------------------
+    to_l = lp.pos - from_point
+    dist = length(to_l)
+    pdir = to_l * safe_div(1.0, dist)
+    point_s = DirectSample(lp.pos, pdir, lp.intensity, one, one > 0, one, dist)
+
+    # -- spot (spot.art) ----------------------------------------------------
+    cos_cut = lp.p0
+    cos_fall = lp.p1
+    blend = cos_fall - cos_cut
+    cos_angle = dot(-pdir, lp.dir)
+    tfac = jnp.clip(safe_div(cos_angle - cos_cut, blend), 0.0, 1.0)
+    sfac = jnp.where(blend <= 1e-6,
+                     jnp.where(cos_angle <= cos_cut, 0.0, 1.0),
+                     tfac * tfac * (3.0 - 2.0 * tfac))
+    spot_valid = cos_angle > cos_cut
+    spot_s = DirectSample(lp.pos, pdir, lp.intensity * sfac,
+                          jnp.where(spot_valid, 1.0, 0.0), one > 0,
+                          -dot(pdir, lp.dir), dist)
+
+    # -- directional / sun --------------------------------------------------
+    # lp.dir stores the direction light -> scene; connection dir is -dir.
+    ddir = -lp.dir
+    dir_s = DirectSample(from_point + ddir * (2.0 * scene.scene_radius), ddir,
+                         lp.intensity, one, zero > 1, one,
+                         2.0 * scene.scene_radius)
+    # sun: uniform cone around -dir with cos_angle p0 (sun.art)
+    sun_cos = lp.p0
+    cdir_l, cpdf = sample_uniform_cone(u0, u1, sun_cos)
+    sframe = make_frame(ddir)
+    sdir = sframe.to_world(cdir_l)
+    sun_s = DirectSample(from_point + sdir * (2.0 * scene.scene_radius), sdir,
+                         lp.intensity * safe_div(1.0, cpdf), cpdf, zero > 1,
+                         one, 2.0 * scene.scene_radius)
+
+    # -- area (area.art + CDF face sampling) --------------------------------
+    area_s = _sample_area_direct(scene, lp, from_point, from_entering, u0, u1)
+
+    # -- env (env.art) ------------------------------------------------------
+    env_s = _sample_env_direct(scene, lp, from_point, u0, u1, eval_texture)
+
+    def sel(kv, s, cur):
+        m = k == kv
+        return DirectSample(vselect(m, s.pos, cur.pos),
+                            vselect(m, s.dir, cur.dir),
+                            cselect(m, s.intensity, cur.intensity),
+                            jnp.where(m, s.pdf_value, cur.pdf_value),
+                            jnp.where(m, s.pdf_is_area, cur.pdf_is_area),
+                            jnp.where(m, s.cos, cur.cos),
+                            jnp.where(m, s.dist, cur.dist))
+
+    out = point_s
+    out = sel(LightKind.SPOT, spot_s, out)
+    out = sel(LightKind.DIRECTIONAL, dir_s, out)
+    out = sel(LightKind.SUN, sun_s, out)
+    out = sel(LightKind.AREA, area_s, out)
+    out = sel(LightKind.ENV, env_s, out)
+    return out
+
+
+def _sample_area_direct(scene: SceneData, lp: LightParams, from_point: Vec3,
+                        from_entering, u0, u1) -> DirectSample:
+    lights = scene.lights
+    # Global CDF trick: area_cdf is per-light-local CDF + light row index,
+    # so the concatenated array is globally sorted and one searchsorted
+    # suffices (see scene/build.py).
+    lrow = _area_row_of(scene, lp)
+    key = lrow.astype(jnp.float32) + jnp.clip(u0, 0.0, 0.999999)
+    n = scene.lights.area_cdf.shape[0]
+    pos = jnp.clip(jnp.searchsorted(scene.lights.area_cdf, key, side="right"),
+                   0, max(n - 1, 0))
+    lo = jnp.where(pos > 0, scene.lights.area_cdf[jnp.maximum(pos - 1, 0)],
+                   0.0) - lrow.astype(jnp.float32)
+    lo = jnp.clip(lo, 0.0, 1.0)
+    hi = jnp.clip(scene.lights.area_cdf[pos] - lrow.astype(jnp.float32), 0.0, 1.0)
+    seg = hi - lo
+    ur = jnp.where(seg > 0, (jnp.clip(u0, 0.0, 0.999999) - lo) / jnp.where(seg > 0, seg, 1.0), 0.0)
+
+    tri = scene.lights.area_tris[pos]
+    v0 = Vec3(scene.tris.v0.x[tri], scene.tris.v0.y[tri], scene.tris.v0.z[tri])
+    e1 = Vec3(scene.tris.e1.x[tri], scene.tris.e1.y[tri], scene.tris.e1.z[tri])
+    e2 = Vec3(scene.tris.e2.x[tri], scene.tris.e2.y[tri], scene.tris.e2.z[tri])
+    bu, bv = sample_triangle(jnp.clip(ur, 0.0, 1.0), u1)
+    p = v0 + e1 * bu + e2 * bv
+    fn = cross(e1, e2)
+    fn_len = length(fn)
+    face_n = fn * safe_div(1.0, fn_len)
+
+    to_l = p - from_point
+    dist = length(to_l)
+    d = to_l * safe_div(1.0, dist)
+    # reference area.art: cos = dot(dir, face_normal) * (entering ? -1 : 1)
+    cos = dot(d, face_n) * jnp.where(from_entering, -1.0, 1.0)
+    total_area = lp.p0
+    pdf_area = safe_div(1.0, total_area)
+    return DirectSample(p, d, lp.intensity, pdf_area, jnp.ones_like(dist) > 0,
+                        cos, dist)
+
+
+def _area_row_of(scene: SceneData, lp: LightParams):
+    # Recover the light row from tri_start: rows are unique per area light.
+    # We store the row directly in p1 for area lights (build.py).
+    return lp.p1.astype(jnp.int32)
+
+
+# -- env ---------------------------------------------------------------------
+
+def _env_uv_from_dir(local_dir: Vec3) -> Vec2:
+    """(env.art map_env_uv) dir is in env space *after* switch_env_up."""
+    theta, phi = spherical_from_dir(local_dir)
+    v = theta / PI
+    u = phi / TWO_PI
+    u = jnp.mod(u + 0.25, 1.0)
+    return Vec2(u, 1.0 - v)
+
+
+def _switch_env_up(v: Vec3) -> Vec3:
+    return Vec3(v.x, v.z, v.y)
+
+
+def _sample_env_direct(scene: SceneData, lp: LightParams, from_point: Vec3,
+                       u0, u1, eval_texture) -> DirectSample:
+    shape = lp.p0.shape
+    radius = scene.scene_radius * 1.01
+    # Constant env: uniform sphere (env.art spherical variant)
+    sdir, spdf = sample_uniform_sphere(u0, u1)
+    const_int = lp.intensity * (1.0 / INV_4PI)  # intensity / pdf
+    d = sdir
+    intens = const_int
+    pdf = jnp.broadcast_to(INV_4PI, shape)
+
+    if eval_texture is not None and scene.envmap is not None:
+        # Textured env with 2D CDF (env.art make_environment_light_textured)
+        cdf = CDF2D(scene.envmap.marginal, scene.envmap.conditional)
+        x, y, p2 = sample_cdf_2d(cdf, u0, u1)
+        theta = (1.0 - y) * PI
+        phi = (x - 0.25) * TWO_PI
+        ld = dir_from_spherical(theta, phi)
+        sin_theta = jnp.sqrt(jnp.maximum(1.0 - ld.z * ld.z, 0.0))
+        pdf_dir = safe_div(p2, sin_theta * PI * PI * 2.0)
+        wdir = _switch_env_up(ld)
+        tex_col = eval_texture(lp.tex, Vec2(x, y))
+        t_int = tex_col.cmul(lp.intensity) * safe_div(1.0, pdf_dir)
+        use_tex = lp.tex >= 0
+        d = vselect(use_tex, wdir, d)
+        intens = cselect(use_tex, t_int, intens)
+        pdf = jnp.where(use_tex, pdf_dir, pdf)
+
+    return DirectSample(from_point + d * radius, d, intens, pdf,
+                        jnp.zeros(shape, bool), jnp.ones(shape, jnp.float32),
+                        jnp.broadcast_to(radius, shape))
+
+
+def env_emission(scene: SceneData, lp: LightParams, ray_dir: Vec3,
+                 eval_texture=None) -> Color:
+    """Radiance of an infinite light for a ray escaping along ray_dir."""
+    out = lp.intensity
+    if eval_texture is not None:
+        ld = _switch_env_up(ray_dir)
+        uv = _env_uv_from_dir(ld)
+        tex_col = eval_texture(lp.tex, uv)
+        out = cselect(lp.tex >= 0, tex_col.cmul(lp.intensity), out)
+    # Non-env infinite kinds (sun/directional) are delta: no emission on miss.
+    is_env = lp.kind == LightKind.ENV
+    return cselect(is_env, out, black(lp.p0.shape))
+
+
+def env_pdf_direct(scene: SceneData, lp: LightParams, ray_dir: Vec3):
+    """Solid-angle pdf of sampling ray_dir via sample_direct (for MIS)."""
+    pdf = jnp.broadcast_to(INV_4PI, lp.p0.shape)
+    if scene.envmap is not None:
+        ld = _switch_env_up(ray_dir)
+        uv = _env_uv_from_dir(ld)
+        cdf = CDF2D(scene.envmap.marginal, scene.envmap.conditional)
+        p2 = pdf_cdf_2d(cdf, uv.x, uv.y)
+        sin_theta = jnp.sqrt(jnp.maximum(1.0 - ld.z * ld.z, 0.0))
+        pdf_tex = safe_div(p2, sin_theta * PI * PI * 2.0)
+        pdf = jnp.where(lp.tex >= 0, pdf_tex, pdf)
+    return pdf
+
+
+# ---------------------------------------------------------------------------
+# Uniform light selection
+# ---------------------------------------------------------------------------
+
+def select_uniform(n_lights: int, u):
+    idx = jnp.clip((u * n_lights).astype(jnp.int32), 0, max(n_lights - 1, 0))
+    pdf = jnp.full(jnp.shape(u), 1.0 / max(n_lights, 1), jnp.float32)
+    return idx, pdf

@@ -1,0 +1,158 @@
+"""Runtime: scene -> progressive rendering session.
+
+Analog of the reference `IG::Runtime`
+(/root/reference/src/runtime/Runtime.h:25): loadFromFile/loadFromString,
+step(), trace(), framebuffer access, parameter overrides, iteration/sample
+counters. The JIT boundary is jax.jit over (SceneData pytree, dynamic iter
+args) with static RenderSettings — re-jits only when static config changes,
+mirroring the reference's per-variant shader compilation.
+"""
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import rng as rnglib
+from ..models import camera as cameralib
+from ..ops.intersect import Rays
+from ..scene.build import BuiltScene, build_scene
+from ..scene.parser import load_from_file, load_from_string
+from ..scenedata import RenderSettings, SceneData
+from ..techniques import dispatch_technique
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_iteration(settings: RenderSettings):
+    """One jitted executable per static settings.
+
+    (A plain jax.jit static_argnames cache mis-dispatches across settings
+    on this jax version — distinct executables avoid it.)
+    """
+    def fn(scene, iteration, frame):
+        return _render_iteration_impl(scene, settings, iteration, frame)
+    return jax.jit(fn)
+
+
+def render_iteration(scene: SceneData, settings: RenderSettings,
+                     iteration, frame):
+    return _compiled_iteration(settings)(scene, iteration, frame)
+
+
+def _render_iteration_impl(scene: SceneData, settings: RenderSettings,
+                           iteration, frame):
+    """Render one iteration (settings.spi samples/pixel); returns [h, w, 3]
+    mean radiance over the iteration's samples."""
+    w, h = settings.width, settings.height
+    x = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], (h, w)).reshape(-1)
+    y = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], (h, w)).reshape(-1)
+
+    acc_r = jnp.zeros(h * w, jnp.float32)
+    acc_g = jnp.zeros(h * w, jnp.float32)
+    acc_b = jnp.zeros(h * w, jnp.float32)
+
+    technique = dispatch_technique(settings.technique)
+
+    for s in range(settings.spi):
+        state = rnglib.seed(jnp.uint32(s), iteration.astype(jnp.uint32),
+                            frame.astype(jnp.uint32), x.astype(jnp.uint32),
+                            y.astype(jnp.uint32), jnp.uint32(settings.seed))
+        state, (rx, ry) = rnglib.next_f32_n(state, 2)
+        rays = cameralib.generate_rays(scene.camera, settings, x, y, rx, ry)
+        color = technique(scene, settings, rays, state)
+        acc_r += color.r
+        acc_g += color.g
+        acc_b += color.b
+
+    inv = 1.0 / settings.spi
+    img = jnp.stack([acc_r.reshape(h, w), acc_g.reshape(h, w),
+                     acc_b.reshape(h, w)], axis=-1)
+    return img * inv
+
+
+class Runtime:
+    """Progressive rendering session."""
+
+    def __init__(self, built: BuiltScene):
+        self._built = built
+        self.scene = built.data
+        self.settings = built.settings
+        self._film = None
+        self._iteration = 0
+        self._frame = 0
+        self._sample_count = 0
+
+    # -- constructors -------------------------------------------------------
+    @staticmethod
+    def load_from_file(path, **overrides) -> "Runtime":
+        sc = load_from_file(path)
+        return Runtime(build_scene(sc, overrides))
+
+    @staticmethod
+    def load_from_string(text, base_dir=".", **overrides) -> "Runtime":
+        sc = load_from_string(text, base_dir)
+        return Runtime(build_scene(sc, overrides))
+
+    # -- properties ---------------------------------------------------------
+    @property
+    def iteration_count(self) -> int:
+        return self._iteration
+
+    @property
+    def sample_count(self) -> int:
+        return self._sample_count
+
+    @property
+    def framebuffer_width(self) -> int:
+        return self.settings.width
+
+    @property
+    def framebuffer_height(self) -> int:
+        return self.settings.height
+
+    @property
+    def warnings(self):
+        return self._built.warnings
+
+    # -- rendering ----------------------------------------------------------
+    def step(self):
+        img = render_iteration(self.scene, self.settings,
+                               jnp.uint32(self._iteration),
+                               jnp.uint32(self._frame))
+        if self._film is None:
+            self._film = img
+        else:
+            self._film = self._film + img
+        self._iteration += 1
+        self._sample_count += self.settings.spi
+        return self
+
+    def reset(self):
+        self._film = None
+        self._iteration = 0
+        self._sample_count = 0
+
+    def inc_frame(self):
+        self._frame += 1
+
+    def framebuffer(self, normalized: bool = False) -> np.ndarray:
+        """Accumulated film [h, w, 3]; divide by iteration_count when
+        `normalized` (reference getFramebufferForHost returns the raw sum)."""
+        if self._film is None:
+            return np.zeros((self.settings.height, self.settings.width, 3),
+                            np.float32)
+        img = np.asarray(self._film)
+        if normalized and self._iteration > 0:
+            img = img / self._iteration
+        return img
+
+    # context-manager parity with the reference Python API
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False

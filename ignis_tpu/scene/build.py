@@ -1,0 +1,642 @@
+"""Scene build: parsed scene graph -> flat SceneData pytree + RenderSettings.
+
+This is the analog of the reference Loader pipeline
+(/root/reference/src/runtime/loader/Loader.cpp:84): shapes -> entities ->
+lights -> bsdfs -> media -> camera -> technique, producing flat tables.
+Instead of Artic codegen, the output feeds jitted JAX render functions; XLA
+specialization over the static RenderSettings replaces per-scene shader JIT.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.vec import Color, Vec2, Vec3
+from ..models.bsdf import BsdfKind
+from ..models.light import LightKind
+from ..ops.intersect import TRI_CHUNK, SphereSoup, TriSoup
+from ..scenedata import (CameraData, Entities, EnvMap, Lights, Materials, Media,
+                         RenderSettings, SceneData, SphereAttributes,
+                         TriAttributes)
+from . import mesh as meshlib
+from .parser import Scene, SceneObject, parse_transform
+
+# IOR lookup table (reference src/runtime/bsdf/Dielectrics in LoaderUtils)
+DIELECTRIC_IOR = {
+    "vacuum": 1.0, "air": 1.000277, "water": 1.3330, "ice": 1.31,
+    "bk7": 1.5046, "glass": 1.5046, "fused_quartz": 1.458,
+    "sapphire": 1.77, "diamond": 2.419, "polypropylene": 1.49,
+    "ethanol": 1.361, "pet": 1.5750, "acrylic_glass": 1.49,
+}
+
+# Conductor spectra (eta, k) for common materials (public tabulated values,
+# reference src/runtime/bsdf/Conductors)
+CONDUCTOR_SPECTRA = {
+    "gold": ((0.143085, 0.374852, 1.44208), (3.98205, 2.38506, 1.60276)),
+    "au": ((0.143085, 0.374852, 1.44208), (3.98205, 2.38506, 1.60276)),
+    "silver": ((0.15522, 0.116692, 0.138342), (4.81810, 3.12313, 2.14628)),
+    "ag": ((0.15522, 0.116692, 0.138342), (4.81810, 3.12313, 2.14628)),
+    "aluminum": ((1.34560, 0.96521, 0.61722), (7.47460, 6.39950, 5.30310)),
+    "al": ((1.34560, 0.96521, 0.61722), (7.47460, 6.39950, 5.30310)),
+    "copper": ((0.200438, 0.924033, 1.10221), (3.91295, 2.44763, 2.14219)),
+    "cu": ((0.200438, 0.924033, 1.10221), (3.91295, 2.44763, 2.14219)),
+    "none": ((0.0, 0.0, 0.0), (1.0, 1.0, 1.0)),  # perfect mirror
+}
+
+
+@dataclass
+class BuiltScene:
+    data: SceneData
+    settings: RenderSettings
+    warnings: List[str] = field(default_factory=list)
+
+
+def _as_color_const(v, default) -> np.ndarray:
+    if v is None:
+        return np.asarray(default, np.float64)
+    if isinstance(v, str):
+        return None  # texture/PExpr - handled by caller
+    if isinstance(v, (int, float)):
+        return np.full(3, float(v))
+    return np.asarray(v, np.float64)
+
+
+def _shape_to_mesh(obj: SceneObject, warnings: List[str]) -> Optional[meshlib.TriMesh]:
+    t = obj.plugin_type
+    p = obj
+    if t == "triangle":
+        m = meshlib.make_triangle(p.get_vec3("p0", (0, 0, 0)),
+                                  p.get_vec3("p1", (1, 0, 0)),
+                                  p.get_vec3("p2", (0, 1, 0)))
+    elif t == "rectangle":
+        if "p0" in p.props:
+            m = meshlib.make_rectangle(p.get_vec3("p0", (-1, -1, 0)),
+                                       p.get_vec3("p1", (1, -1, 0)),
+                                       p.get_vec3("p2", (1, 1, 0)),
+                                       p.get_vec3("p3", (-1, 1, 0)))
+        else:
+            w = p.get_number("width", 2.0)
+            h = p.get_number("height", 2.0)
+            origin = p.get_vec3("origin", (-w / 2, -h / 2, 0))
+            m = meshlib.make_plane(origin, np.array([w, 0, 0]), np.array([0, h, 0]))
+    elif t in ("cube", "box"):
+        w = p.get_number("width", 2.0)
+        h = p.get_number("height", 2.0)
+        d = p.get_number("depth", 2.0)
+        origin = p.get_vec3("origin", (-w / 2, -h / 2, -d / 2))
+        m = meshlib.make_box(origin, np.array([w, 0, 0]), np.array([0, h, 0]),
+                             np.array([0, 0, d]))
+    elif t == "icosphere" or t == "sphere":
+        m = meshlib.make_ico_sphere(p.get_vec3("center"),
+                                    p.get_number("radius", 1.0),
+                                    p.get_int("subdivisions", 4))
+    elif t == "uvsphere":
+        m = meshlib.make_uv_sphere(p.get_vec3("center"),
+                                   p.get_number("radius", 1.0),
+                                   p.get_int("stacks", 32),
+                                   p.get_int("slices", 16))
+    elif t == "cylinder":
+        if "radius" in p.props:
+            br = tr = p.get_number("radius", 1.0)
+        else:
+            br = p.get_number("bottom_radius", 1.0)
+            tr = p.get_number("top_radius", br)
+        m = meshlib.make_cylinder(p.get_vec3("p0"), br,
+                                  p.get_vec3("p1", (0, 0, 1)), tr,
+                                  p.get_int("sections", 32),
+                                  p.get_bool("filled", True))
+    elif t == "cone":
+        m = meshlib.make_cone(p.get_vec3("p0"), p.get_number("radius", 1.0),
+                              p.get_vec3("p1", (0, 0, 1)),
+                              p.get_int("sections", 32),
+                              p.get_bool("filled", True))
+    elif t == "disk":
+        m = meshlib.make_disk(p.get_vec3("origin"),
+                              p.get_vec3("normal", (0, 0, 1)),
+                              p.get_number("radius", 1.0),
+                              p.get_int("sections", 32))
+    elif t in ("obj",):
+        m = meshlib.load_obj(p.path("filename"), p.get_int("shape_index", -1))
+    elif t in ("ply",):
+        m = meshlib.load_ply(p.path("filename"))
+    elif t in ("external",):
+        m = meshlib.load_mesh_file(p.path("filename"))
+    elif t == "inline":
+        verts = np.asarray(p.get("vertices", []), np.float32).reshape(-1, 3)
+        idx = np.asarray(p.get("indices", []), np.int32).reshape(-1, 3)
+        norms = p.get("normals")
+        uvs = p.get("texcoords")
+        m = meshlib.TriMesh(verts, idx,
+                            np.asarray(norms, np.float32).reshape(-1, 3) if norms else None,
+                            np.asarray(uvs, np.float32).reshape(-1, 2) if uvs else None)
+    else:
+        warnings.append(f"Unsupported shape type '{t}', skipping")
+        return None
+
+    # Post-processing flags (TriMeshProvider.cpp:525-545)
+    if p.get_bool("flip_normals", False):
+        m.flip_normals()
+    if p.get_bool("face_normals", False):
+        m.ensure_attributes()
+        m.setup_face_normals_as_vertex_normals()
+    elif p.get_bool("smooth_normals", False):
+        m.compute_vertex_normals()
+    tr = p.get_transform()
+    if not np.allclose(tr, np.eye(4)):
+        m.ensure_attributes()
+        m.transform(tr)
+    for _ in range(p.get_int("subdivision", 0)):
+        m.ensure_attributes()
+        m.subdivide()
+    m.ensure_attributes()
+    return m
+
+
+def _bsdf_row(obj: SceneObject, name_to_tex, warnings: List[str]) -> dict:
+    """Translate a BSDF scene object into a Materials row dict."""
+    t = obj.plugin_type
+    row = dict(kind=int(BsdfKind.DIFFUSE),
+               base=np.array([0.8, 0.8, 0.8]), extra=np.zeros(3),
+               extra2=np.zeros(3), p0=0.0, p1=0.0, p2=0.0, p3=0.0,
+               base_tex=-1, extra_tex=-1, p0_tex=-1, p1_tex=-1)
+
+    def col(key, default, slot="base", tex_slot="base_tex"):
+        v = obj.get_color(key, default)
+        if isinstance(v, str):
+            row[tex_slot] = name_to_tex.get(v, -1)
+            if row[tex_slot] < 0:
+                warnings.append(f"BSDF '{obj.name}': unresolved texture '{v}'")
+            row[slot] = np.asarray(default, np.float64)
+        else:
+            row[slot] = v
+
+    def ior(key, default_name):
+        mat_key = key + "_material"
+        s = obj.get_string(mat_key)
+        if s and s.lower() in DIELECTRIC_IOR:
+            return DIELECTRIC_IOR[s.lower()]
+        return obj.get_number(key, DIELECTRIC_IOR[default_name])
+
+    if t == "diffuse" or t == "roughdiffuse":
+        row["kind"] = int(BsdfKind.DIFFUSE)
+        col("reflectance", (0.8, 0.8, 0.8))
+        row["p1"] = obj.get_number("roughness", 0.0)
+    elif t in ("dielectric", "glass", "roughdielectric", "thindielectric"):
+        row["kind"] = int(BsdfKind.DIELECTRIC)
+        col("specular_reflectance", (1, 1, 1), "base", "base_tex")
+        col("specular_transmittance", (1, 1, 1), "extra", "extra_tex")
+        row["p0"] = ior("ext_ior", "vacuum")
+        row["p1"] = ior("int_ior", "bk7")
+        row["p2"] = obj.get_number("roughness", 0.0)
+        row["p3"] = 1.0 if (t == "thindielectric" or obj.get_bool("thin", False)) else 0.0
+    elif t in ("conductor", "roughconductor", "mirror", "perfect_mirror"):
+        row["kind"] = int(BsdfKind.CONDUCTOR)
+        col("specular_reflectance", (1, 1, 1), "base", "base_tex")
+        mat = obj.get_string("material", "none" if "mirror" in t else "perfect")
+        eta_k = CONDUCTOR_SPECTRA.get(mat.lower(), CONDUCTOR_SPECTRA["none"])
+        row["extra"] = np.asarray(obj.get_color("eta", eta_k[0]))
+        row["extra2"] = np.asarray(obj.get_color("k", eta_k[1]))
+        row["p2"] = obj.get_number("roughness", 0.0)
+    elif t in ("phong",):
+        row["kind"] = int(BsdfKind.PHONG)
+        col("specular_reflectance", (0.2, 0.2, 0.2))
+        row["p0"] = obj.get_number("exponent", 30.0)
+    elif t in ("plastic", "roughplastic"):
+        row["kind"] = int(BsdfKind.PLASTIC)
+        col("diffuse_reflectance", (0.5, 0.5, 0.5))
+        row["p0"] = ior("ext_ior", "vacuum")
+        row["p1"] = ior("int_ior", "bk7")
+        row["p2"] = obj.get_number("roughness", 0.0)
+    elif t in ("passthrough", "null"):
+        row["kind"] = int(BsdfKind.PASSTHROUGH)
+    elif t in ("twosided",):
+        # Two-sided wrapper: our frames are always ray-facing, so the inner
+        # BSDF already behaves two-sided; resolve to inner at build time.
+        warnings.append(f"BSDF '{obj.name}': twosided flattened")
+        row["kind"] = int(BsdfKind.DIFFUSE)
+        col("reflectance", (0.8, 0.8, 0.8))
+    else:
+        warnings.append(f"Unsupported BSDF type '{t}' -> error bsdf")
+        row["kind"] = int(BsdfKind.NULL_ERROR)
+    return row
+
+
+def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
+    warnings: List[str] = []
+    overrides = overrides or {}
+
+    # --- film / technique / camera -----------------------------------------
+    film = scene.film
+    size = film.get("size", [800, 600]) if film else [800, 600]
+    width, height = int(size[0]), int(size[1])
+    if "width" in overrides:
+        width = overrides["width"]
+    if "height" in overrides:
+        height = overrides["height"]
+
+    tech = scene.technique
+    tech_type = tech.plugin_type if tech else "path"
+    max_depth = tech.get_int("max_depth", 64) if tech else 64
+    min_depth = tech.get_int("min_depth", 2) if tech else 2
+    clamp = tech.get_number("clamp", 0.0) if tech else 0.0
+    enable_nee = tech.get_bool("nee", True) if tech else True
+
+    cam = scene.camera
+    cam_type = cam.plugin_type if cam else "perspective"
+    cam_transform = cam.get_transform() if (cam and "transform" in cam.props) else None
+    near = cam.get_number("near_clip", 0.0) if cam else 0.0
+    far = cam.get_number("far_clip", 3.0e38) if cam else 3.0e38
+    if cam is not None and "fov" in cam.props or cam is not None and "hfov" in cam.props or cam is not None and "vfov" in cam.props:
+        pass
+    aspect = width / float(height)
+    if cam is not None and cam.get("aspect_ratio") is not None:
+        aspect = cam.get_number("aspect_ratio", aspect)
+
+    if cam is not None and "vfov" in cam.props:
+        fov = math.radians(cam.get_number("vfov", 60.0))
+        sh = math.tan(fov / 2)
+        sw = sh * aspect
+    else:
+        fovkey = "hfov" if (cam is not None and "hfov" in cam.props) else "fov"
+        fov = math.radians(cam.get_number(fovkey, 60.0) if cam else 60.0)
+        sw = math.tan(fov / 2)
+        sh = sw / aspect
+    fish_mode = cam.get_string("mode", "circular") if cam else "circular"
+
+    # --- shapes ------------------------------------------------------------
+    meshes: Dict[str, meshlib.TriMesh] = {}
+    analytic_spheres: Dict[str, tuple] = {}
+    for name, obj in scene.shapes.items():
+        if obj.plugin_type == "sphere":
+            analytic_spheres[name] = (obj.get_vec3("center"),
+                                      obj.get_number("radius", 1.0))
+        else:
+            m = _shape_to_mesh(obj, warnings)
+            if m is not None:
+                meshes[name] = m
+
+    # --- materials ---------------------------------------------------------
+    name_to_tex: Dict[str, int] = {}  # texture name -> id (textures pass)
+    mat_rows: List[dict] = []
+    mat_index: Dict[str, int] = {}
+    for name, obj in scene.bsdfs.items():
+        mat_index[name] = len(mat_rows)
+        mat_rows.append(_bsdf_row(obj, name_to_tex, warnings))
+    if not mat_rows:  # fallback material
+        mat_rows.append(_bsdf_row(SceneObject("diffuse", "_default"), {}, warnings))
+    default_mat = 0
+
+    # --- media -------------------------------------------------------------
+    med_rows = []
+    med_index: Dict[str, int] = {}
+    for name, obj in scene.media.items():
+        med_index[name] = len(med_rows)
+        sa = _as_color_const(obj.get("sigma_a"), (0, 0, 0))
+        ss = _as_color_const(obj.get("sigma_s"), (0, 0, 0))
+        if sa is None or ss is None:
+            warnings.append(f"Medium '{name}': PExpr sigma not yet supported, "
+                            "using zero extinction")
+            sa = np.zeros(3) if sa is None else sa
+            ss = np.zeros(3) if ss is None else ss
+        med_rows.append((sa, ss, obj.get_number("g", 0.0)))
+
+    # --- entities: flatten transforms into a global soup -------------------
+    tri_v0, tri_e1, tri_e2 = [], [], []
+    tri_n = ([], [], [])
+    tri_uv = ([], [], [])
+    tri_ent, tri_area, tri_shadow = [], [], []
+    sph_center, sph_radius, sph_ent, sph_shadow = [], [], [], []
+    ent_names: List[str] = []
+    ent_mat, ent_light, ent_med_in, ent_med_out = [], [], [], []
+    ent_tri_range: Dict[str, tuple] = {}
+
+    all_points = []
+
+    for name, obj in scene.entities.items():
+        shape_name = obj.get_string("shape")
+        bsdf_name = obj.get_string("bsdf")
+        eid = len(ent_names)
+        ent_names.append(name)
+        ent_mat.append(mat_index.get(bsdf_name, default_mat))
+        ent_light.append(-1)
+        ent_med_in.append(med_index.get(obj.get_string("inner_medium"), -1))
+        ent_med_out.append(med_index.get(obj.get_string("outer_medium"), -1))
+        shadow_visible = obj.get_bool("shadow_visible", True)
+        tr = obj.get_transform()
+
+        if shape_name in analytic_spheres:
+            c, r = analytic_spheres[shape_name]
+            lin = tr[:3, :3]
+            scale = np.abs(np.linalg.det(lin)) ** (1.0 / 3.0)
+            if not np.allclose(lin, np.eye(3) * lin[0, 0], atol=1e-5):
+                warnings.append(f"Entity '{name}': non-uniform sphere scale, "
+                                "tessellating")
+                m = meshlib.make_ico_sphere(c, r, 5)
+                m.transform(tr)
+                _append_mesh(m, eid, shadow_visible, tri_v0, tri_e1, tri_e2,
+                             tri_n, tri_uv, tri_ent, tri_area, tri_shadow,
+                             ent_tri_range, name)
+                all_points.append(m.vertices)
+            else:
+                wc = tr[:3, :3] @ np.asarray(c, np.float64) + tr[:3, 3]
+                wr = r * scale
+                sph_center.append(wc)
+                sph_radius.append(wr)
+                sph_ent.append(eid)
+                sph_shadow.append(shadow_visible)
+                all_points.append(wc[None] + np.array([[-wr, -wr, -wr], [wr, wr, wr]]))
+        elif shape_name in meshes:
+            src = meshes[shape_name]
+            m = meshlib.TriMesh(src.vertices.copy(), src.indices.copy(),
+                                None if src.normals is None else src.normals.copy(),
+                                None if src.texcoords is None else src.texcoords.copy())
+            m.ensure_attributes()
+            if not np.allclose(tr, np.eye(4)):
+                m.transform(tr)
+            _append_mesh(m, eid, shadow_visible, tri_v0, tri_e1, tri_e2,
+                         tri_n, tri_uv, tri_ent, tri_area, tri_shadow,
+                         ent_tri_range, name)
+            all_points.append(m.vertices)
+        else:
+            warnings.append(f"Entity '{name}': unknown shape '{shape_name}'")
+
+    # --- lights ------------------------------------------------------------
+    l_rows = []
+    area_tris: List[int] = []
+    area_cdf: List[float] = []
+    envmap = EnvMap(jnp.asarray(False), jnp.zeros((1,), jnp.float32),
+                    jnp.zeros((1, 1), jnp.float32))
+    ent_name_to_id = {n: i for i, n in enumerate(ent_names)}
+
+    def light_row(**kw):
+        row = dict(kind=int(LightKind.POINT), pos=np.zeros(3), dir=np.array([0, 0, 1.0]),
+                   intensity=np.ones(3), p0=0.0, p1=0.0, entity=-1,
+                   tri_start=0, tri_count=0, tex=-1, delta=False, infinite=False)
+        row.update(kw)
+        return row
+
+    for name, obj in scene.lights.items():
+        t = obj.plugin_type
+        if t == "point":
+            if "power" in obj.props:
+                inten = _as_color_const(obj.get("power"), (4 * np.pi,) * 3) / (4 * np.pi)
+            else:
+                inten = _as_color_const(obj.get("intensity"), (1, 1, 1))
+            l_rows.append(light_row(kind=int(LightKind.POINT),
+                                    pos=obj.get_vec3("position"),
+                                    intensity=inten, delta=True))
+        elif t == "spot":
+            cutoff = math.radians(obj.get_number("cutoff", 30.0))
+            falloff = math.radians(obj.get_number("falloff", 20.0))
+            if "power" in obj.props:
+                factor = 2 * np.pi * (1 - 0.5 * (math.cos(cutoff) + math.cos(falloff)))
+                inten = _as_color_const(obj.get("power"), (1, 1, 1)) / factor
+            else:
+                inten = _as_color_const(obj.get("intensity"), (1, 1, 1))
+            d = _light_direction(obj)
+            l_rows.append(light_row(kind=int(LightKind.SPOT),
+                                    pos=obj.get_vec3("position"),
+                                    dir=d, intensity=inten,
+                                    p0=math.cos(cutoff), p1=math.cos(falloff),
+                                    delta=True))
+        elif t == "directional":
+            d = _light_direction(obj)
+            inten = _as_color_const(obj.get("irradiance"), (1, 1, 1))
+            l_rows.append(light_row(kind=int(LightKind.DIRECTIONAL), dir=d,
+                                    intensity=inten, delta=True, infinite=True))
+        elif t == "area":
+            ent_name = obj.get_string("entity")
+            eid = ent_name_to_id.get(ent_name, -1)
+            if eid < 0:
+                warnings.append(f"Area light '{name}': unknown entity")
+                continue
+            rad = _as_color_const(obj.get("radiance"), (1, 1, 1))
+            if rad is None:
+                warnings.append(f"Area light '{name}': textured radiance TODO")
+                rad = np.ones(3)
+            row_id = len(l_rows)
+            start, count = ent_tri_range.get(ent_name, (0, 0))
+            areas = np.asarray(tri_area[start:start + count], np.float64)
+            total = float(np.sum(areas))
+            cdf_local = np.cumsum(areas) / max(total, 1e-30)
+            a_start = len(area_tris)
+            area_tris.extend(range(start, start + count))
+            area_cdf.extend((row_id + cdf_local).tolist())
+            l_rows.append(light_row(kind=int(LightKind.AREA), intensity=rad,
+                                    p0=total, p1=float(row_id), entity=eid,
+                                    tri_start=a_start, tri_count=count))
+            ent_light[eid] = row_id
+        elif t in ("env", "envmap", "environment", "uniform", "constant"):
+            rad = obj.get_color("radiance", (1, 1, 1))
+            scale = _as_color_const(obj.get("scale"), (1, 1, 1))
+            if isinstance(rad, str):
+                warnings.append(f"Env light '{name}': textured env TODO, using white")
+                rad = np.ones(3)
+            l_rows.append(light_row(kind=int(LightKind.ENV),
+                                    intensity=np.asarray(rad) * scale,
+                                    infinite=True))
+        elif t == "sun":
+            d = _light_direction(obj)
+            # reference sun.art: sun disk with angular radius; power scale
+            irr = obj.get_number("sun_scale", 1.0)
+            sun_radius = obj.get_number("sun_radius_scale", 1.0)
+            cos_angle = math.cos(0.00465 * sun_radius)  # ~0.266 deg solar radius
+            l_rows.append(light_row(kind=int(LightKind.SUN), dir=-d,
+                                    intensity=np.full(3, irr),
+                                    p0=cos_angle, delta=True, infinite=True))
+            warnings.append(f"Sun light '{name}': preliminary (no spectral irradiance)")
+        elif t in ("sky",):
+            warnings.append(f"Sky light '{name}': Hosek sky TODO, using gray env")
+            l_rows.append(light_row(kind=int(LightKind.ENV),
+                                    intensity=np.full(3, 0.5), infinite=True))
+        else:
+            warnings.append(f"Unsupported light type '{t}', skipped")
+
+    # --- pack tables -------------------------------------------------------
+    n_tris = len(tri_v0)
+    pad = (-n_tris) % TRI_CHUNK
+    if n_tris == 0:
+        pad = TRI_CHUNK
+
+    def pad3(lst, fill=0.0):
+        a = np.asarray(lst, np.float32).reshape(-1, 3) if lst else np.zeros((0, 3), np.float32)
+        return np.vstack([a, np.full((pad, 3), fill, np.float32)])
+
+    def soa3(a):
+        return Vec3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]), jnp.asarray(a[:, 2]))
+
+    def soa2(a):
+        return Vec2(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]))
+
+    v0 = pad3(tri_v0)
+    e1 = pad3(tri_e1)
+    e2 = pad3(tri_e2)
+    tris = TriSoup(soa3(v0), soa3(e1), soa3(e2))
+
+    def pad2(lst):
+        a = np.asarray(lst, np.float32).reshape(-1, 2) if lst else np.zeros((0, 2), np.float32)
+        return np.vstack([a, np.zeros((pad, 2), np.float32)])
+
+    attr = TriAttributes(
+        n0=soa3(pad3(tri_n[0])), n1=soa3(pad3(tri_n[1])), n2=soa3(pad3(tri_n[2])),
+        uv0=soa2(pad2(tri_uv[0])), uv1=soa2(pad2(tri_uv[1])), uv2=soa2(pad2(tri_uv[2])),
+        ent=jnp.asarray(np.concatenate([np.asarray(tri_ent, np.int32),
+                                        np.full(pad, -1, np.int32)])),
+        area=jnp.asarray(np.concatenate([np.asarray(tri_area, np.float32),
+                                         np.zeros(pad, np.float32)])),
+        shadow_visible=jnp.asarray(np.concatenate([
+            np.asarray(tri_shadow, bool), np.zeros(pad, bool)])),
+    )
+
+    spheres = SphereSoup(
+        center=soa3(np.asarray(sph_center, np.float32).reshape(-1, 3)),
+        radius=jnp.asarray(np.asarray(sph_radius, np.float32)))
+    sph_attr = SphereAttributes(
+        ent=jnp.asarray(np.asarray(sph_ent, np.int32)),
+        shadow_visible=jnp.asarray(np.asarray(sph_shadow, bool)))
+
+    n_ent = max(len(ent_names), 1)
+    entities = Entities(
+        mat=jnp.asarray(np.asarray(ent_mat or [0], np.int32)),
+        light=jnp.asarray(np.asarray(ent_light or [-1], np.int32)),
+        med_inner=jnp.asarray(np.asarray(ent_med_in or [-1], np.int32)),
+        med_outer=jnp.asarray(np.asarray(ent_med_out or [-1], np.int32)))
+
+    def col_arr(key):
+        return Color(*[jnp.asarray(np.asarray([r[key][i] for r in mat_rows],
+                                              np.float32)) for i in range(3)])
+
+    materials = Materials(
+        kind=jnp.asarray(np.asarray([r["kind"] for r in mat_rows], np.int32)),
+        base=col_arr("base"), extra=col_arr("extra"), extra2=col_arr("extra2"),
+        p0=jnp.asarray(np.asarray([r["p0"] for r in mat_rows], np.float32)),
+        p1=jnp.asarray(np.asarray([r["p1"] for r in mat_rows], np.float32)),
+        p2=jnp.asarray(np.asarray([r["p2"] for r in mat_rows], np.float32)),
+        p3=jnp.asarray(np.asarray([r["p3"] for r in mat_rows], np.float32)),
+        base_tex=jnp.asarray(np.asarray([r["base_tex"] for r in mat_rows], np.int32)),
+        extra_tex=jnp.asarray(np.asarray([r["extra_tex"] for r in mat_rows], np.int32)),
+        p0_tex=jnp.asarray(np.asarray([r["p0_tex"] for r in mat_rows], np.int32)),
+        p1_tex=jnp.asarray(np.asarray([r["p1_tex"] for r in mat_rows], np.int32)),
+    )
+
+    if not l_rows:
+        l_rows.append(light_row(intensity=np.zeros(3)))
+        n_lights = 0
+    else:
+        n_lights = len(l_rows)
+
+    def lcol(key):
+        a = np.asarray([r[key] for r in l_rows], np.float32)
+        return a
+
+    lights = Lights(
+        kind=jnp.asarray(lcol("kind").astype(np.int32)),
+        pos=soa3(lcol("pos")), dir=soa3(lcol("dir")),
+        intensity=Color(*[jnp.asarray(lcol("intensity")[:, i]) for i in range(3)]),
+        p0=jnp.asarray(lcol("p0")), p1=jnp.asarray(lcol("p1")),
+        entity=jnp.asarray(lcol("entity").astype(np.int32)),
+        tri_start=jnp.asarray(lcol("tri_start").astype(np.int32)),
+        tri_count=jnp.asarray(lcol("tri_count").astype(np.int32)),
+        tex=jnp.asarray(lcol("tex").astype(np.int32)),
+        delta=jnp.asarray(lcol("delta").astype(bool)),
+        infinite=jnp.asarray(lcol("infinite").astype(bool)),
+        area_tris=jnp.asarray(np.asarray(area_tris or [0], np.int32)),
+        area_cdf=jnp.asarray(np.asarray(area_cdf or [0.0], np.float32)),
+    )
+
+    media = Media(
+        sigma_a=Color(*[jnp.asarray(np.asarray([r[0][i] for r in med_rows] or [0.0],
+                                               np.float32)) for i in range(3)]),
+        sigma_s=Color(*[jnp.asarray(np.asarray([r[1][i] for r in med_rows] or [0.0],
+                                               np.float32)) for i in range(3)]),
+        g=jnp.asarray(np.asarray([r[2] for r in med_rows] or [0.0], np.float32)))
+
+    # --- scene bounds ------------------------------------------------------
+    if all_points:
+        pts = np.vstack(all_points)
+        bmin, bmax = pts.min(0), pts.max(0)
+    else:
+        bmin, bmax = np.zeros(3), np.zeros(3)
+    center = 0.5 * (bmin + bmax)
+    radius = float(np.linalg.norm(bmax - bmin) * 0.5)
+    if radius <= 0:
+        radius = 1.0
+
+    # --- camera ------------------------------------------------------------
+    if cam_transform is not None:
+        eye = cam_transform[:3, 3]
+        cdir = cam_transform[:3, 2]
+        cup = cam_transform[:3, 1]
+    else:
+        eye = np.array([0.0, 0.0, 0.0])
+        cdir = np.array([0.0, 0.0, -1.0])
+        cup = np.array([0.0, 1.0, 0.0])
+    camera = CameraData(
+        eye=Vec3(*[jnp.float32(v) for v in eye]),
+        dir=Vec3(*[jnp.float32(v) for v in cdir / np.linalg.norm(cdir)]),
+        up=Vec3(*[jnp.float32(v) for v in cup / np.linalg.norm(cup)]),
+        scale=Vec2(jnp.float32(sw), jnp.float32(sh)),
+        tmin=jnp.float32(near), tmax=jnp.float32(far))
+
+    infinite_rows = tuple(int(i) for i, r in enumerate(l_rows)
+                          if r["infinite"] and n_lights > 0)
+
+    data = SceneData(tris=tris, tri_attr=attr, spheres=spheres,
+                     sph_attr=sph_attr, entities=entities, materials=materials,
+                     lights=lights, envmap=envmap, camera=camera, media=media,
+                     textures=None,
+                     scene_radius=jnp.float32(radius),
+                     scene_center=Vec3(*[jnp.float32(v) for v in center]))
+
+    settings = RenderSettings(
+        width=width, height=height, technique=tech_type,
+        max_depth=max_depth, min_depth=min_depth, clamp=clamp,
+        enable_nee=enable_nee,
+        spi=int(overrides.get("spi", 1)), seed=int(overrides.get("seed", 0)),
+        camera_type=cam_type, fish_mode=fish_mode,
+        infinite_light_rows=infinite_rows, n_lights=n_lights)
+
+    return BuiltScene(data=data, settings=settings, warnings=warnings)
+
+
+def _append_mesh(m: meshlib.TriMesh, eid: int, shadow_visible: bool,
+                 tri_v0, tri_e1, tri_e2, tri_n, tri_uv, tri_ent, tri_area,
+                 tri_shadow, ent_tri_range, ent_name):
+    start = len(tri_v0)
+    v = m.vertices
+    i = m.indices
+    p0 = v[i[:, 0]]
+    p1 = v[i[:, 1]]
+    p2 = v[i[:, 2]]
+    e1 = p1 - p0
+    e2 = p2 - p0
+    areas = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=1)
+    tri_v0.extend(p0)
+    tri_e1.extend(e1)
+    tri_e2.extend(e2)
+    for k in range(3):
+        tri_n[k].extend(m.normals[i[:, k]])
+        tri_uv[k].extend(m.texcoords[i[:, k]])
+    tri_ent.extend([eid] * len(i))
+    tri_area.extend(areas)
+    tri_shadow.extend([shadow_visible] * len(i))
+    ent_tri_range[ent_name] = (start, len(i))
+
+
+def _light_direction(obj: SceneObject) -> np.ndarray:
+    if "direction" in obj.props:
+        d = obj.get_vec3("direction", (0, 0, 1))
+    elif "elevation" in obj.props or "azimuth" in obj.props:
+        # reference LoaderUtils::getDirection: from elevation/azimuth
+        el = math.radians(obj.get_number("elevation", 0.0))
+        az = math.radians(obj.get_number("azimuth", 0.0))
+        d = np.array([math.cos(el) * math.sin(az), math.cos(el) * math.cos(az),
+                      math.sin(el)])
+    else:
+        d = obj.get_vec3("direction", (0, 0, 1))
+    n = np.linalg.norm(d)
+    return d / n if n > 0 else np.array([0, 0, 1.0])

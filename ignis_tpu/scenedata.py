@@ -1,0 +1,162 @@
+"""Flat on-device scene representation (the reference's SceneDatabase analog).
+
+The reference serializes scenes into typed byte tables consumed by JIT'd
+kernels (/root/reference/src/runtime/table/SceneDatabase.h). Here the scene
+is a JAX pytree of SoA arrays: XLA constant-folds / prefetches them, and
+sharding annotations control replication across a device mesh.
+
+Static (shape-affecting) configuration lives in `RenderSettings`, which is
+hashable and passed as a static argument to jitted render functions.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+
+from .core.vec import Vec2, Vec3, Color
+from .ops.intersect import SphereSoup, TriSoup
+
+
+class TriAttributes(NamedTuple):
+    """Per-triangle shading attributes (SoA, padded like the soup)."""
+    n0: Vec3
+    n1: Vec3
+    n2: Vec3
+    uv0: Vec2
+    uv1: Vec2
+    uv2: Vec2
+    ent: jnp.ndarray        # [T] i32 entity id, -1 padding
+    area: jnp.ndarray       # [T] f32 world-space area
+    shadow_visible: jnp.ndarray  # [T] bool
+
+
+class SphereAttributes(NamedTuple):
+    ent: jnp.ndarray        # [S] i32
+    shadow_visible: jnp.ndarray
+
+
+class Entities(NamedTuple):
+    mat: jnp.ndarray        # [E] i32 material row
+    light: jnp.ndarray      # [E] i32 area-light id or -1
+    med_inner: jnp.ndarray  # [E] i32 medium id or -1
+    med_outer: jnp.ndarray  # [E] i32 medium id or -1
+
+
+class Materials(NamedTuple):
+    """Unified SoA material table; one row per scene BSDF.
+
+    Field meaning depends on `kind` (see models/bsdf.py BsdfKind):
+      base:  diffuse reflectance / specular reflectance / tint
+      extra: specular transmittance (dielectric) / eta (conductor) / ...
+      extra2: k (conductor absorption) / sheen... per-kind
+      p0..p3: scalars (ior, roughness/alpha, exponent, weight...)
+    Texture indirection: *_tex >= 0 selects a texture node evaluated at the
+    hit's uv (see models/texture.py); -1 means use the constant.
+    """
+    kind: jnp.ndarray   # [M] i32
+    base: Color
+    extra: Color
+    extra2: Color
+    p0: jnp.ndarray
+    p1: jnp.ndarray
+    p2: jnp.ndarray
+    p3: jnp.ndarray
+    base_tex: jnp.ndarray
+    extra_tex: jnp.ndarray
+    p0_tex: jnp.ndarray
+    p1_tex: jnp.ndarray
+
+
+class Lights(NamedTuple):
+    """Unified SoA light table; one row per light.
+
+    kind: see models/light.py LightKind. Finite lights come first is NOT
+    required; `infinite` flags mark env/sun-like lights.
+    Fields by kind:
+      point: pos, intensity
+      spot:  pos, dir, intensity, p0=cos_cutoff, p1=cos_falloff
+      directional: dir (towards scene), intensity (irradiance)
+      sun:   dir, intensity, p0=cos_angle of sun disk
+      area:  entity (area emitter), intensity=radiance, tri range [p_i0, p_i1)
+      env:   intensity=scale/radiance, texture id in tex (-1 = constant)
+    """
+    kind: jnp.ndarray       # [L] i32
+    pos: Vec3
+    dir: Vec3
+    intensity: Color
+    p0: jnp.ndarray
+    p1: jnp.ndarray
+    entity: jnp.ndarray     # [L] i32 (area lights), else -1
+    tri_start: jnp.ndarray  # [L] i32 start into area_tris
+    tri_count: jnp.ndarray  # [L] i32
+    tex: jnp.ndarray        # [L] i32 texture id for env, else -1
+    delta: jnp.ndarray      # [L] bool
+    infinite: jnp.ndarray   # [L] bool
+    # Area-light face sampling: concatenated per-light face CDFs
+    area_tris: jnp.ndarray  # [AT] i32 global tri index
+    area_cdf: jnp.ndarray   # [AT] f32 inclusive CDF within each light segment
+
+
+class EnvMap(NamedTuple):
+    """Environment importance-sampling data (one textured env light max for
+    now; mirrors reference env CDF baking LoaderLight.cpp)."""
+    present: jnp.ndarray      # () bool
+    marginal: jnp.ndarray     # [h]
+    conditional: jnp.ndarray  # [h, w]
+
+
+class CameraData(NamedTuple):
+    eye: Vec3     # scalars
+    dir: Vec3
+    up: Vec3
+    scale: Vec2   # tan(fov/2) horizontal/vertical
+    tmin: jnp.ndarray
+    tmax: jnp.ndarray
+
+
+class SceneData(NamedTuple):
+    tris: TriSoup
+    tri_attr: TriAttributes
+    spheres: SphereSoup
+    sph_attr: SphereAttributes
+    entities: Entities
+    materials: Materials
+    lights: Lights
+    envmap: EnvMap
+    camera: CameraData
+    media: "Media"
+    textures: Optional[tuple] = None  # tuple of texture pytrees (models/texture.py)
+    scene_radius: jnp.ndarray = jnp.float32(1.0)
+    scene_center: Vec3 = Vec3(jnp.float32(0), jnp.float32(0), jnp.float32(0))
+
+
+class Media(NamedTuple):
+    """Homogeneous participating media table (models/medium.py)."""
+    sigma_a: Color  # [Md]
+    sigma_s: Color
+    g: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Hashable static render configuration (jit static arg)."""
+    width: int
+    height: int
+    technique: str = "path"
+    max_depth: int = 64
+    min_depth: int = 2
+    clamp: float = 0.0
+    enable_nee: bool = True
+    spi: int = 1
+    seed: int = 0
+    camera_type: str = "perspective"
+    fish_mode: str = "circular"
+    # counts (static so lax loops unroll/bound correctly)
+    infinite_light_rows: Tuple[int, ...] = ()
+    n_lights: int = 0
+    # technique extras
+    aov_normals: bool = False
+    light_selector: str = "uniform"
+    remat: bool = False  # per-bounce rematerialization (for grad memory)

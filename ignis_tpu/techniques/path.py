@@ -1,0 +1,291 @@
+"""Unidirectional path tracer with NEE + MIS + Russian roulette.
+
+TPU-native re-design of the reference wavefront path tracer
+(/root/reference/src/artic/technique/pathtracer.art): instead of
+per-material sorted hit-shader launches, one `lax.scan` over bounce depth
+advances the whole ray wavefront with masked lanes. Every bounce does one
+closest-hit traversal + one shadow (any-hit) traversal; BSDF and light
+dispatch are vectorized masked selects (models/bsdf.py, models/light.py).
+Differentiable end-to-end (scan + masked math, no data-dependent control
+flow).
+
+MIS uses the balance heuristic in the reference's inverse-pdf form:
+  hit:  w = 1 / (1 + inv_bsdf_pdf * light_select_pdf * light_pdf_solid)
+  nee:  w = 1 / (1 + bsdf_pdf / light_pdf_solid)
+Russian roulette is the pbrt-style max-component rule on contrib*eta^2,
+clamped to [0.05, 0.95], active after min_depth.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng as rnglib
+from ..core.frame import Frame, make_frame
+from ..core.vec import (Color, Vec2, Vec3, black, color_max_component, cross,
+                        cselect, dot, length, normalize, safe_div, saturate,
+                        vselect, white)
+from ..models import bsdf as bsdflib
+from ..models import light as lightlib
+from ..models.bsdf import BsdfSample, MatParams
+from ..ops import intersect as isect
+from ..ops.intersect import FLT_MAX, Hit, Rays
+from ..scenedata import RenderSettings, SceneData
+
+OFFSET = jnp.float32(1e-3)
+
+
+class Surface(NamedTuple):
+    point: Vec3
+    face_n: Vec3     # oriented towards the ray
+    ns: Vec3         # shading normal, oriented towards the ray
+    uv: Vec2
+    is_entering: jnp.ndarray
+    ent: jnp.ndarray
+
+
+def trace_scene(scene: SceneData, rays: Rays) -> Hit:
+    h = isect.intersect_tris_dense(rays, scene.tris)
+    hs = isect.intersect_spheres_dense(rays, scene.spheres,
+                                       scene.tris.v0.x.shape[0])
+    return isect.merge_hits(h, hs)
+
+
+def occluded_scene(scene: SceneData, rays: Rays) -> jnp.ndarray:
+    occ = isect.occluded_tris_dense(rays, scene.tris,
+                                    scene.tri_attr.shadow_visible)
+    n_tri = scene.tris.v0.x.shape[0]
+    if scene.spheres.radius.shape[0] > 0:
+        h = isect.intersect_spheres_dense(rays, scene.spheres, 0)
+        svis = scene.sph_attr.shadow_visible[jnp.clip(h.prim, 0, None)]
+        occ = occ | ((h.prim >= 0) & svis)
+    return occ
+
+
+def compute_surface(scene: SceneData, rays: Rays, hit: Hit) -> Surface:
+    n_tri = scene.tris.v0.x.shape[0]
+    prim = jnp.clip(hit.prim, 0, None)
+    is_tri = prim < n_tri
+    tp = jnp.clip(prim, 0, n_tri - 1)
+
+    g3 = lambda v, i: Vec3(v.x[i], v.y[i], v.z[i])
+    g2 = lambda v, i: Vec2(v.x[i], v.y[i])
+
+    e1 = g3(scene.tris.e1, tp)
+    e2 = g3(scene.tris.e2, tp)
+    fn = cross(e1, e2)
+    fnl = length(fn)
+    face_n = fn * safe_div(1.0, fnl)
+
+    u, v = hit.u, hit.v
+    w = 1.0 - u - v
+    n0 = g3(scene.tri_attr.n0, tp)
+    n1 = g3(scene.tri_attr.n1, tp)
+    n2 = g3(scene.tri_attr.n2, tp)
+    ns = normalize(Vec3(n0.x * w + n1.x * u + n2.x * v,
+                        n0.y * w + n1.y * u + n2.y * v,
+                        n0.z * w + n1.z * u + n2.z * v))
+    uv0 = g2(scene.tri_attr.uv0, tp)
+    uv1 = g2(scene.tri_attr.uv1, tp)
+    uv2 = g2(scene.tri_attr.uv2, tp)
+    uv = Vec2(uv0.x * w + uv1.x * u + uv2.x * v,
+              uv0.y * w + uv1.y * u + uv2.y * v)
+    ent = scene.tri_attr.ent[tp]
+
+    point = rays.org + rays.dir * hit.t
+
+    # Spheres: normal from center, uv spherical
+    n_sph = scene.spheres.radius.shape[0]
+    if n_sph > 0:
+        sp = jnp.clip(prim - n_tri, 0, n_sph - 1)
+        sc = g3(scene.spheres.center, sp)
+        sn = normalize(point - sc)
+        from ..core.warp import spherical_from_dir, PI, TWO_PI
+        theta, phi = spherical_from_dir(sn)
+        suv = Vec2(phi / TWO_PI, theta / PI)
+        face_n = vselect(is_tri, face_n, sn)
+        ns = vselect(is_tri, ns, sn)
+        uv = Vec2(jnp.where(is_tri, uv.x, suv.x), jnp.where(is_tri, uv.y, suv.y))
+        ent = jnp.where(is_tri, ent, scene.sph_attr.ent[sp])
+
+    is_entering = dot(rays.dir, face_n) <= 0.0
+    flip = jnp.where(is_entering, 1.0, -1.0)
+    face_n = face_n * flip
+    ns = ns * flip
+    return Surface(point, face_n, ns, uv, is_entering, ent)
+
+
+def gather_material(scene: SceneData, surf: Surface, eval_texture=None) -> MatParams:
+    m = scene.materials
+    mid = scene.entities.mat[jnp.clip(surf.ent, 0, None)]
+    g = lambda a: a[mid]
+    gc = lambda c: Color(c.r[mid], c.g[mid], c.b[mid])
+    mat = MatParams(kind=g(m.kind), base=gc(m.base), extra=gc(m.extra),
+                    extra2=gc(m.extra2), p0=g(m.p0), p1=g(m.p1), p2=g(m.p2),
+                    p3=g(m.p3))
+    if eval_texture is not None:
+        base_tex = m.base_tex[mid]
+        tex_col = eval_texture(base_tex, surf.uv)
+        mat = mat._replace(base=cselect(base_tex >= 0, tex_col, mat.base))
+    return mat
+
+
+class PathState(NamedTuple):
+    org: Vec3
+    dir: Vec3
+    tmin: jnp.ndarray
+    tmax: jnp.ndarray
+    rng: jnp.ndarray
+    contrib: Color
+    inv_pdf: jnp.ndarray
+    eta: jnp.ndarray
+    alive: jnp.ndarray
+    result: Color
+
+
+def _handle_color(c: Color, settings: RenderSettings) -> Color:
+    if settings.clamp > 0:
+        return saturate(c, settings.clamp)
+    return c
+
+
+def _cadd_where(m, acc: Color, c: Color) -> Color:
+    return Color(acc.r + jnp.where(m, c.r, 0.0),
+                 acc.g + jnp.where(m, c.g, 0.0),
+                 acc.b + jnp.where(m, c.b, 0.0))
+
+
+def path_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
+               rng_state, eval_texture=None) -> Color:
+    """Trace one wavefront of camera rays to completion. Returns radiance."""
+    n = rays.tmin.shape
+    n_lights = settings.n_lights
+    sel_pdf_const = 1.0 / max(n_lights, 1)
+
+    init = PathState(
+        org=rays.org, dir=rays.dir, tmin=rays.tmin, tmax=rays.tmax,
+        rng=rng_state,
+        contrib=white(n), inv_pdf=jnp.zeros(n), eta=jnp.ones(n),
+        alive=jnp.ones(n, bool), result=black(n),
+    )
+
+    def bounce(state: PathState, b):
+        rays_b = Rays(state.org, state.dir, state.tmin, state.tmax)
+        hit = trace_scene(scene, rays_b)
+        found = hit.prim >= 0
+        result = state.result
+
+        # ---- miss: infinite lights (on_miss, pathtracer.art:141) ----------
+        miss = state.alive & ~found
+        for lid in _infinite_rows(scene, settings):
+            lp = lightlib.gather_light(scene.lights,
+                                       jnp.full(n, lid, jnp.int32))
+            emit = lightlib.env_emission(scene, lp, state.dir, eval_texture)
+            pdf_s = lightlib.env_pdf_direct(scene, lp, state.dir)
+            mis = jnp.where(
+                lp.delta, 0.0,
+                1.0 / (1.0 + state.inv_pdf * sel_pdf_const * pdf_s)
+            ) if settings.enable_nee else jnp.where(lp.delta, 0.0, 1.0)
+            c = _handle_color(state.contrib.cmul(emit) * mis, settings)
+            result = _cadd_where(miss & ~lp.delta, result, c)
+
+        # ---- hit shading --------------------------------------------------
+        active = state.alive & found
+        surf = compute_surface(scene, rays_b, hit)
+        mat = gather_material(scene, surf, eval_texture)
+        all_delta = bsdflib.is_all_delta(mat)
+        out_dir = -state.dir
+        frame = make_frame(surf.ns)
+
+        # Emission on hit (on_hit, pathtracer.art:120)
+        light_row = scene.entities.light[jnp.clip(surf.ent, 0, None)]
+        is_emissive = light_row >= 0
+        lp_hit = lightlib.gather_light(scene.lights, jnp.clip(light_row, 0, None))
+        cos_l = -dot(state.dir, frame.n)
+        emit_ok = active & is_emissive & surf.is_entering & (cos_l > 1e-6)
+        # area light: pdf_direct in area measure = 1/total_area
+        pdf_area = safe_div(1.0, lp_hit.p0)
+        pdf_s = pdf_area * safe_div(hit.t * hit.t, cos_l)
+        mis_e = (1.0 / (1.0 + state.inv_pdf * sel_pdf_const * pdf_s)
+                 if settings.enable_nee else jnp.ones(n))
+        c_emit = _handle_color(state.contrib.cmul(lp_hit.intensity) * mis_e,
+                               settings)
+        result = _cadd_where(emit_ok, result, c_emit)
+
+        rng = state.rng
+        depth = b + 1  # reference payload depth starts at 1
+
+        # ---- NEE (on_shadow, pathtracer.art:52) ---------------------------
+        if settings.enable_nee and n_lights > 0:
+            rng, (ul, u0, u1) = rnglib.next_f32_n(rng, 3)
+            lsel, sel_pdf = lightlib.select_uniform(n_lights, ul)
+            lp = lightlib.gather_light(scene.lights, lsel)
+            ls = lightlib.sample_direct(scene, lp, surf.point,
+                                        surf.is_entering, u0, u1, eval_texture)
+            pdf_l_s = lightlib.pdf_as_solid(ls.pdf_value, ls.pdf_is_area,
+                                            ls.cos, ls.dist * ls.dist) * sel_pdf
+            bsdf_f = bsdflib.eval_bsdf(mat, frame, surf.is_entering,
+                                       ls.dir, out_dir)
+            bsdf_p = bsdflib.pdf_bsdf(mat, frame, surf.is_entering,
+                                      ls.dir, out_dir)
+            mis = jnp.where(lp.delta, 1.0,
+                            1.0 / (1.0 + safe_div(bsdf_p, pdf_l_s)))
+            factor = safe_div(ls.pdf_value, pdf_l_s)
+            contrib_nee = _handle_color(
+                ls.intensity.cmul(state.contrib.cmul(bsdf_f)) * (mis * factor),
+                settings)
+            want = (active & ~all_delta & (depth + 1 <= settings.max_depth)
+                    & (pdf_l_s > 1e-9) & (ls.cos > 1e-6)
+                    & (color_max_component(contrib_nee) > 0))
+            # Shadow ray: finite lights aim at the sampled point (range [o,1-o])
+            sdir_inf = ls.dir
+            svec_fin = ls.pos - surf.point
+            sdir = vselect(lp.infinite, sdir_inf, svec_fin)
+            stmax = jnp.where(lp.infinite, FLT_MAX, 1.0 - OFFSET)
+            shadow_rays = Rays(surf.point, sdir,
+                               jnp.broadcast_to(OFFSET, n), stmax)
+            occ = occluded_scene(scene, shadow_rays)
+            result = _cadd_where(want & ~occ, result, contrib_nee)
+
+        # ---- bounce (on_bounce, pathtracer.art:170) -----------------------
+        rng, (b0, b1, b2, b_rr) = rnglib.next_f32_n(rng, 4)
+        bs = bsdflib.sample_bsdf(mat, frame, surf.is_entering, out_dir,
+                                 b0, b1, b2)
+        new_contrib = state.contrib.cmul(bs.weight)
+        rr_c = color_max_component(new_contrib) * state.eta * state.eta
+        rr_prob = jnp.clip(rr_c, 0.05, 0.95)
+        rr_prob = jnp.where(depth + 1 > settings.min_depth, rr_prob, 1.0)
+        survive = b_rr < rr_prob
+        cont = (active & bs.valid & survive & (bs.pdf > 1e-9)
+                & (depth + 1 <= settings.max_depth))
+        inv_s = 1.0 / rr_prob
+        new_contrib = new_contrib * inv_s
+        new_inv_pdf = jnp.where(bs.is_delta, 0.0, safe_div(1.0, bs.pdf))
+
+        new_state = PathState(
+            org=surf.point,
+            dir=bs.in_dir,
+            tmin=jnp.broadcast_to(OFFSET, n),
+            tmax=jnp.full(n, FLT_MAX),
+            rng=rng,
+            contrib=cselect(cont, new_contrib, state.contrib),
+            inv_pdf=jnp.where(cont, new_inv_pdf, state.inv_pdf),
+            eta=jnp.where(cont, state.eta * bs.eta, state.eta),
+            alive=cont,
+            result=result,
+        )
+        return new_state, None
+
+    if settings.remat:
+        # Rematerialize per-bounce for reverse-mode grads (path-replay-style
+        # memory profile). Off by default: jax 0.9.0 mis-counts checkpoint
+        # closure buffers when several forward executables coexist.
+        bounce = jax.checkpoint(bounce, prevent_cse=False)
+    final, _ = jax.lax.scan(bounce, init, jnp.arange(settings.max_depth))
+    return final.result
+
+
+def _infinite_rows(scene: SceneData, settings: RenderSettings):
+    return list(settings.infinite_light_rows)

@@ -1,0 +1,138 @@
+"""Image IO: EXR / HDR / PNG / JPG read+write.
+
+Parity target: reference Image IO (/root/reference/src/runtime/Image.cpp —
+tinyexr for EXR, stb for LDR/HDR). Here: OpenCV for EXR/HDR/LDR with a
+pure-python uncompressed-EXR fallback writer, gamma handling matching the
+reference (LDR input is srgb-decoded to linear; EXR is linear).
+"""
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
+
+
+def _cv2():
+    import cv2
+    return cv2
+
+
+def srgb_to_linear(x: np.ndarray) -> np.ndarray:
+    return np.where(x <= 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
+
+
+def linear_to_srgb(x: np.ndarray) -> np.ndarray:
+    x = np.clip(x, 0.0, 1.0)
+    return np.where(x <= 0.0031308, x * 12.92, 1.055 * x ** (1 / 2.4) - 0.055)
+
+
+def load_image(path) -> np.ndarray:
+    """Load as linear float32 [h, w, 3] (RGB)."""
+    path = str(path)
+    cv2 = _cv2()
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED | cv2.IMREAD_ANYDEPTH
+                     | cv2.IMREAD_ANYCOLOR)
+    if img is None:
+        raise IOError(f"Cannot load image {path}")
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    if img.shape[-1] == 4:
+        img = img[..., :3]
+    # OpenCV loads BGR
+    img = img[..., ::-1].astype(np.float32)
+    suffix = Path(path).suffix.lower()
+    if suffix in (".png", ".jpg", ".jpeg", ".bmp", ".tga"):
+        maxv = 255.0 if img.max() > 1.5 else 1.0
+        if img.dtype != np.float32 or maxv > 1.0:
+            img = img / maxv
+        img = srgb_to_linear(img).astype(np.float32)
+    return np.ascontiguousarray(img, np.float32)
+
+
+def save_image(path, img: np.ndarray):
+    """Save linear float32 [h, w, 3] RGB. EXR/HDR keep linear; LDR formats
+    are gamma-encoded."""
+    path = str(path)
+    img = np.asarray(img, np.float32)
+    suffix = Path(path).suffix.lower()
+    cv2 = _cv2()
+    if suffix == ".exr":
+        ok = cv2.imwrite(path, np.ascontiguousarray(img[..., ::-1]))
+        if not ok:
+            _write_exr_fallback(path, img)
+    elif suffix == ".hdr":
+        cv2.imwrite(path, np.ascontiguousarray(img[..., ::-1]))
+    else:
+        ldr = (linear_to_srgb(img) * 255.0 + 0.5).astype(np.uint8)
+        cv2.imwrite(path, np.ascontiguousarray(ldr[..., ::-1]))
+
+
+def _write_exr_fallback(path, img: np.ndarray):
+    """Minimal scanline ZIP-compressed EXR writer (float32 RGB)."""
+    h, w, _ = img.shape
+    channels = [("B", img[..., 2]), ("G", img[..., 1]), ("R", img[..., 0])]
+
+    def attr(name, type_, data):
+        return (name.encode() + b"\0" + type_.encode() + b"\0"
+                + struct.pack("<I", len(data)) + data)
+
+    chlist = b""
+    for name, _ in channels:
+        chlist += name.encode() + b"\0" + struct.pack("<iiii", 2, 0, 1, 1)
+    chlist += b"\0"
+
+    header = b""
+    header += attr("channels", "chlist", chlist)
+    header += attr("compression", "compression", bytes([3]))  # ZIP
+    header += attr("dataWindow", "box2i", struct.pack("<iiii", 0, 0, w - 1, h - 1))
+    header += attr("displayWindow", "box2i", struct.pack("<iiii", 0, 0, w - 1, h - 1))
+    header += attr("lineOrder", "lineOrder", bytes([0]))
+    header += attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+    header += attr("screenWindowCenter", "v2f", struct.pack("<ff", 0, 0))
+    header += attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    header += b"\0"
+
+    # ZIP compression groups 16 scanlines per block
+    blocks = []
+    for y0 in range(0, h, 16):
+        ys = range(y0, min(y0 + 16, h))
+        raw = b""
+        for y in ys:
+            for _, ch in channels:
+                raw += ch[y].astype("<f4").tobytes()
+        # EXR zip predictor: delta then interleave
+        a = np.frombuffer(raw, np.uint8).astype(np.int16)
+        d = np.empty_like(a)
+        d[0] = a[0]
+        d[1:] = a[1:] - a[:-1] + 128 + 256
+        d = (d & 0xFF).astype(np.uint8)
+        half = (len(d) + 1) // 2
+        inter = np.empty_like(d)
+        inter[:half] = d[0::2]
+        inter[half:] = d[1::2]
+        comp = zlib.compress(inter.tobytes())
+        if len(comp) >= len(raw):
+            comp = raw
+        blocks.append((y0, comp))
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<I", 20000630))  # magic
+        f.write(struct.pack("<I", 2))         # version
+        f.write(header)
+        offset_table_pos = f.tell()
+        n_blocks = len(blocks)
+        f.write(b"\0" * (8 * n_blocks))
+        offsets = []
+        for y0, comp in blocks:
+            offsets.append(f.tell())
+            f.write(struct.pack("<i", y0))
+            f.write(struct.pack("<I", len(comp)))
+            f.write(comp)
+        f.seek(offset_table_pos)
+        for off in offsets:
+            f.write(struct.pack("<Q", off))

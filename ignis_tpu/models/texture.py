@@ -1,0 +1,231 @@
+"""Texture nodes: image lookup + procedural patterns.
+
+Parity target: reference patterns (/root/reference/src/runtime/pattern/ and
+src/artic/texture/): image (nearest/bilinear/bicubic filters; repeat/mirror/
+clamp wrap), checkerboard, brick, noise family.
+
+Split representation (jit-friendly):
+  - TexDesc: static python ints (kind/wrap/filter) — part of RenderSettings,
+    so they specialize the compiled program like the reference's shader JIT.
+  - TexData: jnp arrays (image, uv transform, colors, params) — pytree leaves.
+Evaluation is a static unrolled masked select over the scene's textures.
+"""
+from __future__ import annotations
+
+from enum import IntEnum
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.vec import Color, Vec2, cselect
+
+
+class TexKind(IntEnum):
+    IMAGE = 0
+    CHECKERBOARD = 1
+    BRICK = 2
+    NOISE = 3       # value noise
+    PERLIN = 4
+    FBM = 5
+    VORONOI = 6
+    CELLNOISE = 7
+    CONSTANT = 8
+
+
+class WrapMode(IntEnum):
+    REPEAT = 0
+    MIRROR = 1
+    CLAMP = 2
+
+
+class FilterMode(IntEnum):
+    NEAREST = 0
+    BILINEAR = 1
+    BICUBIC = 2
+
+
+class TexDesc(NamedTuple):
+    """Static per-texture descriptor (hashable; lives in RenderSettings)."""
+    kind: int
+    wrap_u: int
+    wrap_v: int
+    filter: int
+
+
+class TexData(NamedTuple):
+    """Array data per texture (SceneData pytree)."""
+    image: jnp.ndarray        # [h, w, 3] for IMAGE, [1,1,3] otherwise
+    transform: jnp.ndarray    # [2, 3] uv affine transform
+    color0: jnp.ndarray       # [3]
+    color1: jnp.ndarray       # [3]
+    p0: jnp.ndarray           # scalar param (scale_x / octaves / ...)
+    p1: jnp.ndarray
+
+
+def make_image_texture(img: np.ndarray, wrap_u=WrapMode.REPEAT,
+                       wrap_v=WrapMode.REPEAT, filt=FilterMode.BICUBIC,
+                       transform=None):
+    t = np.eye(2, 3, dtype=np.float32) if transform is None else \
+        np.asarray(transform, np.float32)
+    desc = TexDesc(int(TexKind.IMAGE), int(wrap_u), int(wrap_v), int(filt))
+    data = TexData(image=jnp.asarray(img, jnp.float32), transform=jnp.asarray(t),
+                   color0=jnp.zeros(3), color1=jnp.ones(3),
+                   p0=jnp.float32(0), p1=jnp.float32(0))
+    return desc, data
+
+
+def make_procedural(kind: TexKind, color0, color1, p0=0.0, p1=0.0,
+                    transform=None):
+    t = np.eye(2, 3, dtype=np.float32) if transform is None else \
+        np.asarray(transform, np.float32)
+    desc = TexDesc(int(kind), 0, 0, 0)
+    data = TexData(image=jnp.zeros((1, 1, 3), jnp.float32),
+                   transform=jnp.asarray(t),
+                   color0=jnp.asarray(color0, jnp.float32),
+                   color1=jnp.asarray(color1, jnp.float32),
+                   p0=jnp.float32(p0), p1=jnp.float32(p1))
+    return desc, data
+
+
+# ---------------------------------------------------------------------------
+# Evaluation
+# ---------------------------------------------------------------------------
+
+def _wrap(x, mode: int):
+    if mode == WrapMode.REPEAT:
+        return jnp.mod(x, 1.0)
+    if mode == WrapMode.MIRROR:
+        t = jnp.mod(x, 2.0)
+        return jnp.where(t > 1.0, 2.0 - t, t)
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def _fetch(img, xi, yi):
+    h, w = img.shape[0], img.shape[1]
+    xi = jnp.clip(xi, 0, w - 1)
+    yi = jnp.clip(yi, 0, h - 1)
+    flat = img.reshape(-1, 3)
+    idx = yi * w + xi
+    return Color(flat[idx, 0], flat[idx, 1], flat[idx, 2])
+
+
+def _eval_image(desc: TexDesc, tex: TexData, u, v) -> Color:
+    img = tex.image
+    h, w = img.shape[0], img.shape[1]
+    tu = tex.transform[0, 0] * u + tex.transform[0, 1] * v + tex.transform[0, 2]
+    tv = tex.transform[1, 0] * u + tex.transform[1, 1] * v + tex.transform[1, 2]
+    uu = _wrap(tu, desc.wrap_u)
+    vv = _wrap(tv, desc.wrap_v)
+    # Image row 0 is the top; uv v=0 is the bottom.
+    x = uu * w - 0.5
+    y = (1.0 - vv) * h - 0.5
+    if desc.filter == FilterMode.NEAREST:
+        return _fetch(img, jnp.round(x).astype(jnp.int32),
+                      jnp.round(y).astype(jnp.int32))
+    # Bilinear (bicubic maps here too for now; refine later for parity)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    c00 = _fetch(img, x0, y0)
+    c10 = _fetch(img, x0 + 1, y0)
+    c01 = _fetch(img, x0, y0 + 1)
+    c11 = _fetch(img, x0 + 1, y0 + 1)
+
+    def mix(a, b, t):
+        return Color(a.r + (b.r - a.r) * t, a.g + (b.g - a.g) * t,
+                     a.b + (b.b - a.b) * t)
+    return mix(mix(c00, c10, fx), mix(c01, c11, fx), fy)
+
+
+def _eval_checkerboard(tex: TexData, u, v) -> Color:
+    iu = jnp.floor(u * tex.p0).astype(jnp.int32)
+    iv = jnp.floor(v * tex.p1).astype(jnp.int32)
+    even = ((iu + iv) % 2) == 0
+    c0 = Color(*[jnp.broadcast_to(tex.color0[i], u.shape) for i in range(3)])
+    c1 = Color(*[jnp.broadcast_to(tex.color1[i], u.shape) for i in range(3)])
+    return cselect(even, c0, c1)
+
+
+def _hash2(ix, iy):
+    h = (ix.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+         ^ iy.astype(jnp.uint32) * jnp.uint32(0x85EBCA77))
+    h = h ^ (h >> jnp.uint32(13))
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> jnp.uint32(16))
+    return (h >> jnp.uint32(8)).astype(jnp.float32) * (1.0 / 16777216.0)
+
+
+def _value_noise(u, v):
+    x0 = jnp.floor(u).astype(jnp.int32)
+    y0 = jnp.floor(v).astype(jnp.int32)
+    fx = u - x0
+    fy = v - y0
+    sx = fx * fx * (3.0 - 2.0 * fx)
+    sy = fy * fy * (3.0 - 2.0 * fy)
+    n00 = _hash2(x0, y0)
+    n10 = _hash2(x0 + 1, y0)
+    n01 = _hash2(x0, y0 + 1)
+    n11 = _hash2(x0 + 1, y0 + 1)
+    return ((n00 * (1 - sx) + n10 * sx) * (1 - sy)
+            + (n01 * (1 - sx) + n11 * sx) * sy)
+
+
+def _eval_noiselike(desc: TexDesc, tex: TexData, u, v) -> Color:
+    scale = jnp.maximum(tex.p0, 1e-6)
+    x = u * scale
+    y = v * scale
+    if desc.kind == TexKind.FBM:
+        amp, val, tot = 1.0, 0.0, 0.0
+        for o in range(4):
+            val = val + amp * _value_noise(x * (2 ** o), y * (2 ** o))
+            tot += amp
+            amp *= 0.5
+        n = val / tot
+    elif desc.kind == TexKind.CELLNOISE:
+        n = _hash2(jnp.floor(x).astype(jnp.int32), jnp.floor(y).astype(jnp.int32))
+    elif desc.kind == TexKind.VORONOI:
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        best = jnp.full(u.shape, 1e9, jnp.float32)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cx = x0 + dx
+                cy = y0 + dy
+                px = cx.astype(jnp.float32) + _hash2(cx, cy)
+                py = cy.astype(jnp.float32) + _hash2(cy, cx)
+                d = (px - x) ** 2 + (py - y) ** 2
+                best = jnp.minimum(best, d)
+        n = jnp.sqrt(best)
+    else:  # NOISE / PERLIN / BRICK placeholder
+        n = _value_noise(x, y)
+    return Color(*[tex.color0[i] + (tex.color1[i] - tex.color0[i]) * n
+                   for i in range(3)])
+
+
+def _eval_one(desc: TexDesc, tex: TexData, u, v) -> Color:
+    if desc.kind == TexKind.IMAGE:
+        return _eval_image(desc, tex, u, v)
+    if desc.kind == TexKind.CHECKERBOARD:
+        return _eval_checkerboard(tex, u, v)
+    if desc.kind == TexKind.CONSTANT:
+        return Color(*[jnp.broadcast_to(tex.color0[i], u.shape) for i in range(3)])
+    return _eval_noiselike(desc, tex, u, v)
+
+
+def make_texture_evaluator(descs: Tuple[TexDesc, ...], datas):
+    """eval_texture(tex_id[N] int32, uv Vec2[N]) -> Color[N]; unrolled masked
+    select over the scene's textures (uniform control flow)."""
+    if not descs:
+        return None
+
+    def eval_texture(tex_id, uv: Vec2) -> Color:
+        z = jnp.zeros(tex_id.shape, jnp.float32)
+        out = Color(z, z, z)
+        for i, (desc, tex) in enumerate(zip(descs, datas)):
+            c = _eval_one(desc, tex, uv.x, uv.y)
+            out = cselect(tex_id == i, c, out)
+        return out
+
+    return eval_texture

@@ -59,6 +59,9 @@ def render_iteration_sharded(scene: SceneData, settings: RenderSettings,
         scene, _replicated(mesh))
 
     technique = dispatch_technique(settings.technique)
+    from ..models.texture import make_texture_evaluator
+    eval_texture = make_texture_evaluator(settings.texture_descs,
+                                          scene.textures)
     acc = [jnp.zeros(n, jnp.float32)] * 3
     for s in range(settings.spi):
         state = rnglib.seed(jnp.uint32(s), iteration.astype(jnp.uint32),
@@ -66,7 +69,8 @@ def render_iteration_sharded(scene: SceneData, settings: RenderSettings,
                             y.astype(jnp.uint32), jnp.uint32(settings.seed))
         state, (rx, ry) = rnglib.next_f32_n(state, 2)
         rays = cameralib.generate_rays(scene.camera, settings, x, y, rx, ry)
-        color = technique(scene, settings, rays, state)
+        color = technique(scene, settings, rays, state,
+                          eval_texture=eval_texture)
         acc = [acc[0] + color.r, acc[1] + color.g, acc[2] + color.b]
 
     inv = 1.0 / settings.spi

@@ -10,12 +10,25 @@ mirroring the reference's per-variant shader compilation.
 from __future__ import annotations
 
 import functools
+import os
 from pathlib import Path
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compilation cache — the analog of the reference's on-disk JIT
+# object cache (src/device/Compiler.cpp:35). First compile of a big scan
+# program is tens of seconds; subsequent processes hit the cache.
+try:
+    _cache_dir = os.environ.get(
+        "IGNIS_TPU_CACHE", os.path.expanduser("~/.cache/ignis_tpu/jax"))
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
 
 from ..core import rng as rnglib
 from ..models import camera as cameralib
@@ -56,6 +69,9 @@ def _render_iteration_impl(scene: SceneData, settings: RenderSettings,
     acc_b = jnp.zeros(h * w, jnp.float32)
 
     technique = dispatch_technique(settings.technique)
+    from ..models.texture import make_texture_evaluator
+    eval_texture = make_texture_evaluator(settings.texture_descs,
+                                          scene.textures)
 
     for s in range(settings.spi):
         state = rnglib.seed(jnp.uint32(s), iteration.astype(jnp.uint32),
@@ -63,7 +79,8 @@ def _render_iteration_impl(scene: SceneData, settings: RenderSettings,
                             y.astype(jnp.uint32), jnp.uint32(settings.seed))
         state, (rx, ry) = rnglib.next_f32_n(state, 2)
         rays = cameralib.generate_rays(scene.camera, settings, x, y, rx, ry)
-        color = technique(scene, settings, rays, state)
+        color = technique(scene, settings, rays, state,
+                          eval_texture=eval_texture)
         acc_r += color.r
         acc_g += color.g
         acc_b += color.b

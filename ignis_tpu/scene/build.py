@@ -279,8 +279,66 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
             if m is not None:
                 meshes[name] = m
 
+    # --- textures ----------------------------------------------------------
+    from ..models.texture import (FilterMode, TexKind, WrapMode,
+                                  make_image_texture, make_procedural)
+    name_to_tex: Dict[str, int] = {}
+    tex_descs: List = []
+    tex_datas: List = []
+    tex_images: Dict[str, np.ndarray] = {}  # raw image per name (env CDFs)
+
+    def _wrap_of(s):
+        return {"repeat": WrapMode.REPEAT, "mirror": WrapMode.MIRROR,
+                "clamp": WrapMode.CLAMP}.get(s, WrapMode.REPEAT)
+
+    for name, obj in scene.textures.items():
+        t = obj.plugin_type
+        tid = len(tex_descs)
+        try:
+            if t in ("image", "bitmap"):
+                from ..utils.image import load_image
+                img = load_image(obj.path("filename"))
+                tex_images[name] = img
+                filt = {"nearest": FilterMode.NEAREST,
+                        "bilinear": FilterMode.BILINEAR}.get(
+                    obj.get_string("filter_type", "bicubic"), FilterMode.BICUBIC)
+                wu = _wrap_of(obj.get_string("wrap_mode_u",
+                                             obj.get_string("wrap_mode", "repeat")))
+                wv = _wrap_of(obj.get_string("wrap_mode_v",
+                                             obj.get_string("wrap_mode", "repeat")))
+                tr2 = obj.get_transform()[:2, (0, 1, 3)]
+                d, a = make_image_texture(img, wu, wv, filt, tr2)
+            elif t == "checkerboard":
+                d, a = make_procedural(
+                    TexKind.CHECKERBOARD,
+                    _as_color_const(obj.get("color0"), (0, 0, 0)),
+                    _as_color_const(obj.get("color1"), (1, 1, 1)),
+                    obj.get_number("scale_x", 2.0), obj.get_number("scale_y", 2.0))
+            elif t in ("noise", "pnoise", "perlin", "fbm", "voronoi", "cellnoise"):
+                kind = {"noise": TexKind.NOISE, "pnoise": TexKind.PERLIN,
+                        "perlin": TexKind.PERLIN, "fbm": TexKind.FBM,
+                        "voronoi": TexKind.VORONOI,
+                        "cellnoise": TexKind.CELLNOISE}[t]
+                d, a = make_procedural(
+                    kind,
+                    _as_color_const(obj.get("color0"), (0, 0, 0)),
+                    _as_color_const(obj.get("color1"), (1, 1, 1)),
+                    obj.get_number("scale", 20.0))
+            elif t in ("constant",):
+                d, a = make_procedural(TexKind.CONSTANT,
+                                       _as_color_const(obj.get("color"), (1, 1, 1)),
+                                       (1, 1, 1))
+            else:
+                warnings.append(f"Texture '{name}': type '{t}' TODO, using white")
+                d, a = make_procedural(TexKind.CONSTANT, (1, 1, 1), (1, 1, 1))
+        except Exception as e:  # missing file etc.
+            warnings.append(f"Texture '{name}': {e}; using magenta")
+            d, a = make_procedural(TexKind.CONSTANT, (1, 0, 1), (1, 0, 1))
+        tex_descs.append(d)
+        tex_datas.append(a)
+        name_to_tex[name] = tid
+
     # --- materials ---------------------------------------------------------
-    name_to_tex: Dict[str, int] = {}  # texture name -> id (textures pass)
     mat_rows: List[dict] = []
     mat_index: Dict[str, int] = {}
     for name, obj in scene.bsdfs.items():
@@ -434,11 +492,24 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
             rad = obj.get_color("radiance", (1, 1, 1))
             scale = _as_color_const(obj.get("scale"), (1, 1, 1))
             if isinstance(rad, str):
-                warnings.append(f"Env light '{name}': textured env TODO, using white")
-                rad = np.ones(3)
-            l_rows.append(light_row(kind=int(LightKind.ENV),
-                                    intensity=np.asarray(rad) * scale,
-                                    infinite=True))
+                tid = name_to_tex.get(rad, -1)
+                if tid < 0:
+                    warnings.append(f"Env light '{name}': unknown texture "
+                                    f"'{rad}', using white")
+                    l_rows.append(light_row(kind=int(LightKind.ENV),
+                                            intensity=scale, infinite=True))
+                else:
+                    if rad in tex_images:
+                        envmap = _build_env_cdf(
+                            tex_images[rad],
+                            compensate=obj.get_bool("compensate", False))
+                    l_rows.append(light_row(kind=int(LightKind.ENV),
+                                            intensity=scale, tex=tid,
+                                            infinite=True))
+            else:
+                l_rows.append(light_row(kind=int(LightKind.ENV),
+                                        intensity=np.asarray(rad) * scale,
+                                        infinite=True))
         elif t == "sun":
             d = _light_direction(obj)
             # reference sun.art: sun disk with angular radius; power scale
@@ -588,7 +659,7 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
     data = SceneData(tris=tris, tri_attr=attr, spheres=spheres,
                      sph_attr=sph_attr, entities=entities, materials=materials,
                      lights=lights, envmap=envmap, camera=camera, media=media,
-                     textures=None,
+                     textures=tuple(tex_datas),
                      scene_radius=jnp.float32(radius),
                      scene_center=Vec3(*[jnp.float32(v) for v in center]))
 
@@ -598,7 +669,8 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         enable_nee=enable_nee,
         spi=int(overrides.get("spi", 1)), seed=int(overrides.get("seed", 0)),
         camera_type=cam_type, fish_mode=fish_mode,
-        infinite_light_rows=infinite_rows, n_lights=n_lights)
+        infinite_light_rows=infinite_rows, n_lights=n_lights,
+        texture_descs=tuple(tex_descs))
 
     return BuiltScene(data=data, settings=settings, warnings=warnings)
 
@@ -625,6 +697,26 @@ def _append_mesh(m: meshlib.TriMesh, eid: int, shadow_visible: bool,
     tri_area.extend(areas)
     tri_shadow.extend([shadow_visible] * len(i))
     ent_tri_range[ent_name] = (start, len(i))
+
+
+def _build_env_cdf(img: np.ndarray, compensate: bool) -> EnvMap:
+    """Build the env importance CDF (reference CDF::computeForImage:
+    row-luminance conditional + sin-premultiplied marginal, optional MIS
+    compensation). Rows are flipped so row 0 = v=0 = bottom, matching the
+    uv space of models/light.py env sampling."""
+    w = np.maximum(img, 0.0).mean(axis=-1)  # colorResponse
+    defect = 0.0
+    if compensate:
+        d = float(w.mean())
+        if abs(float(w.min()) - d) >= 1e-4:
+            defect = d
+    w = np.maximum(w - defect, 0.0)
+    w = w[::-1]  # flip: row 0 becomes bottom (v=0)
+    h = w.shape[0]
+    sin_theta = np.sin(np.pi * (np.arange(h) + 0.5) / h)[:, None]
+    from ..core.cdf import build_cdf_2d
+    cdf = build_cdf_2d(jnp.asarray((w * sin_theta).astype(np.float32)))
+    return EnvMap(jnp.asarray(True), cdf.marginal, cdf.conditional)
 
 
 def _light_direction(obj: SceneObject) -> np.ndarray:

@@ -160,3 +160,5 @@ class RenderSettings:
     aov_normals: bool = False
     light_selector: str = "uniform"
     remat: bool = False  # per-bounce rematerialization (for grad memory)
+    # static per-texture descriptors (models/texture.py TexDesc tuples)
+    texture_descs: Tuple = ()

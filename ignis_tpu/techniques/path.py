@@ -279,11 +279,27 @@ def path_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
         return new_state, None
 
     if settings.remat:
-        # Rematerialize per-bounce for reverse-mode grads (path-replay-style
-        # memory profile). Off by default: jax 0.9.0 mis-counts checkpoint
-        # closure buffers when several forward executables coexist.
-        bounce = jax.checkpoint(bounce, prevent_cse=False)
-    final, _ = jax.lax.scan(bounce, init, jnp.arange(settings.max_depth))
+        # Differentiable path: lax.scan over the full static depth with
+        # per-bounce rematerialization (path-replay-style memory profile).
+        bounce_ckpt = jax.checkpoint(bounce, prevent_cse=False)
+        final, _ = jax.lax.scan(bounce_ckpt, init,
+                                jnp.arange(settings.max_depth))
+        return final.result
+
+    # Forward path: while_loop with early exit once the whole wavefront is
+    # dead — typical scenes terminate far before max_depth (RR), and the
+    # reference wavefront loop has the same "while rays remain" structure
+    # (mapping_cpu.art:749).
+    def cond(carry):
+        b, state = carry
+        return (b < settings.max_depth) & jnp.any(state.alive)
+
+    def body(carry):
+        b, state = carry
+        state, _ = bounce(state, b)
+        return (b + 1, state)
+
+    _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
     return final.result
 
 

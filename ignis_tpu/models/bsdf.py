@@ -7,9 +7,19 @@ for every lane with VPU masks and select — uniform control flow, no sorting,
 no divergence; XLA fuses the whole dispatch into one kernel.
 
 Semantics mirror /root/reference/src/artic/bsdf/*.art:
-  - eval(in_dir, out_dir) includes the cosine term
+  - eval(in_dir, out_dir) includes the cosine term; delta lobes eval to 0
   - sample() returns weight = eval/pdf (cosine included), eta ratio, delta flag
-  - delta BSDFs have eval = 0, pdf = 0
+  - rough lobes: GGX with visible-normal sampling (core/microfacet.py)
+  - alpha <= 1e-4 degenerates to the delta (perfect) variant
+
+Material parameter slots (scenedata.Materials):
+  DIFFUSE:    base=reflectance, p1=roughness (Oren-Nayar alpha)
+  DIELECTRIC: base=spec_refl, extra=spec_trans, p0=ext_ior, p1=int_ior,
+              p2=alpha, p3=thin flag
+  CONDUCTOR:  base=spec_refl, extra=eta, extra2=k, p2=alpha_u, p3=alpha_v
+  PHONG:      base=spec_refl, p0=exponent
+  PLASTIC:    base=diffuse_refl, extra=spec_refl, p0=ext_ior, p1=int_ior,
+              p2=alpha
 """
 from __future__ import annotations
 
@@ -19,30 +29,30 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..core import fresnel as fr
-from ..core.frame import Frame
-from ..core.vec import (Color, Vec3, Vec2, black, cselect, dot, gray, normalize,
-                        reflect, vselect)
-from ..core.warp import (INV_PI, cosine_hemisphere_pdf, sample_cosine_hemisphere,
-                         sample_cosine_power_hemisphere, cosine_power_hemisphere_pdf)
+from ..core import microfacet as mf
+from ..core.frame import Frame, make_frame
+from ..core.vec import (Color, Vec3, black, cselect, dot, normalize, reflect,
+                        safe_div, vselect)
+from ..core.warp import (INV_PI, cosine_hemisphere_pdf,
+                         cosine_power_hemisphere_pdf, sample_cosine_hemisphere,
+                         sample_cosine_power_hemisphere)
 
 EPS = 1e-6
+DELTA_ALPHA = mf.DELTA_ALPHA
 
 
 class BsdfKind(IntEnum):
-    DIFFUSE = 0        # base=reflectance, p1=roughness (Oren-Nayar alpha)
-    DIELECTRIC = 1     # base=spec_reflectance, extra=spec_transmittance,
-                       # p0=ext_ior, p1=int_ior, p2=roughness, p3=thin
-    CONDUCTOR = 2      # base=spec_reflectance, extra=eta, extra2=k, p2=roughness
+    DIFFUSE = 0
+    DIELECTRIC = 1
+    CONDUCTOR = 2
     PASSTHROUGH = 3
-    PHONG = 4          # base=spec_reflectance, p0=exponent
-    PLASTIC = 5        # base=diffuse_reflectance, extra=spec_reflectance, p0/p1 ior
+    PHONG = 4
+    PLASTIC = 5
     PRINCIPLED = 6
-    NULL_ERROR = 7     # error BSDF: renders pink (reference ErrorBSDF)
+    NULL_ERROR = 7
 
 
 class MatParams(NamedTuple):
-    """Per-lane material parameters (gathered from the Materials table,
-    possibly overridden by texture lookups)."""
     kind: jnp.ndarray
     base: Color
     extra: Color
@@ -56,17 +66,53 @@ class MatParams(NamedTuple):
 class BsdfSample(NamedTuple):
     in_dir: Vec3
     pdf: jnp.ndarray
-    weight: Color      # eval/pdf with cosine (reference: "color")
+    weight: Color
     eta: jnp.ndarray
     is_delta: jnp.ndarray
     valid: jnp.ndarray
 
 
-def _oren_nayar_eval(kd: Color, alpha, n: Vec3, in_dir: Vec3, out_dir: Vec3):
+# ---------------------------------------------------------------------------
+# Helpers
+# ---------------------------------------------------------------------------
+
+def _conductor_fresnel(eta: Color, k: Color, cos_i) -> Color:
+    """reference conductor_factor (fresnel.art): per channel."""
+    def chan(n, kk):
+        f = n * n + kk * kk
+        c2 = cos_i * cos_i
+        d1 = f * c2
+        d2 = 2.0 * n * cos_i
+        rs = safe_div(d1 - d2, d1 + d2)
+        rp = safe_div(f - d2 + c2, f + d2 + c2)
+        return jnp.clip((rs * rs + rp * rp) * 0.5, 0.0, 1.0)
+    return Color(chan(eta.r, k.r), chan(eta.g, k.g), chan(eta.b, k.b))
+
+
+def _fresnel_diffuse_factor(eta):
+    """fresnel.art:42 (Egan/Hilgeman + d'Eon/Irving fits)."""
+    lo = -1.4399 * eta * eta + 0.7099 * eta + 0.6681 + 0.0636 / jnp.maximum(eta, 1e-6)
+    ie = 1.0 / jnp.maximum(eta, 1e-6)
+    hi = (0.919317 - 3.4793 * ie + 6.75335 * ie ** 2 - 7.80989 * ie ** 3
+          + 4.98554 * ie ** 4 - 1.36881 * ie ** 5)
+    return jnp.where(eta < 1.0, lo, hi)
+
+
+def _eta_ratio(mat: MatParams, is_entering):
+    """n1/n2 along the propagation direction (dielectric/plastic)."""
+    return jnp.where(is_entering, mat.p0 / jnp.maximum(mat.p1, 1e-6),
+                     mat.p1 / jnp.maximum(mat.p0, 1e-6))
+
+
+# ---------------------------------------------------------------------------
+# Diffuse family
+# ---------------------------------------------------------------------------
+
+def _oren_nayar_eval(kd: Color, alpha, wi: Vec3, wo: Vec3):
     a2 = alpha * alpha
-    p1 = jnp.maximum(dot(in_dir, n), 0.0)
-    p2 = jnp.maximum(dot(out_dir, n), 0.0)
-    s = -p1 * p2 + jnp.maximum(dot(out_dir, in_dir), 0.0)
+    p1 = jnp.maximum(wi.z, 0.0)
+    p2 = jnp.maximum(wo.z, 0.0)
+    s = -p1 * p2 + jnp.maximum(dot(wo, wi), 0.0)
     t = jnp.where(s <= EPS, 1.0, jnp.maximum(EPS, jnp.maximum(p1, p2)))
     A = 1.0 - 0.5 * a2 / (a2 + 0.33)
     B = 0.45 * a2 / (a2 + 0.09)
@@ -77,188 +123,339 @@ def _oren_nayar_eval(kd: Color, alpha, n: Vec3, in_dir: Vec3, out_dir: Vec3):
                  kd.b * fac + kd.b * kd.b * C * INV_PI) * p1
 
 
-def _diffuse_eval(mat: MatParams, frame: Frame, in_dir: Vec3, out_dir: Vec3) -> Color:
-    n = frame.n
-    cos_i = jnp.maximum(dot(in_dir, n), 0.0)
+def _diffuse_eval(mat: MatParams, wi: Vec3, wo: Vec3) -> Color:
+    cos_i = jnp.maximum(wi.z, 0.0)
     lam = mat.base * (cos_i * INV_PI)
-    use_on = mat.p1 > EPS
-    on = _oren_nayar_eval(mat.base, mat.p1, n, in_dir, out_dir)
-    return cselect(use_on, on, lam)
+    on = _oren_nayar_eval(mat.base, mat.p1, wi, wo)
+    return cselect(mat.p1 > EPS, on, lam)
 
 
-def _phong_eval(mat: MatParams, frame: Frame, in_dir: Vec3, out_dir: Vec3) -> Color:
-    # reference bsdf/phong.art: ks * (n+2)/(2pi) * cos(refl,in)^n * cos_i
-    n = frame.n
-    cos_i = jnp.maximum(dot(in_dir, n), 0.0)
-    r = reflect(out_dir, n)
-    c = jnp.maximum(dot(r, in_dir), 0.0)
+def _phong_eval(mat: MatParams, wi: Vec3, wo: Vec3) -> Color:
+    cos_i = jnp.maximum(wi.z, 0.0)
+    r = Vec3(-wo.x, -wo.y, wo.z)  # reflect about +z
+    c = jnp.maximum(dot(r, wi), 0.0)
     k = mat.p0
-    f = jnp.power(c, k) * (k + 2.0) * (0.5 * INV_PI) * cos_i
-    return mat.base * f
+    return mat.base * (jnp.power(c, k) * (k + 2.0) * (0.5 * INV_PI) * cos_i)
 
+
+# ---------------------------------------------------------------------------
+# Rough conductor (conductor.art make_rough_conductor_bsdf)
+# ---------------------------------------------------------------------------
+
+def _conductor_rough_eval(mat: MatParams, wi: Vec3, wo: Vec3) -> Color:
+    au, av = mat.p2, mat.p3
+    h = normalize(wi + wo)
+    cos_i = wi.z
+    cos_o = wo.z
+    D = mf.ndf_ggx(h, jnp.maximum(au, 1e-5), jnp.maximum(av, 1e-5))
+    G = mf.g_separable(wi, wo, au, av)
+    F = _conductor_fresnel(mat.extra, mat.extra2, jnp.abs(dot(h, wo)))
+    f = safe_div(D * G, 4.0 * jnp.abs(cos_o))
+    ok = (cos_i > EPS) & (cos_o > EPS) & (au > DELTA_ALPHA)
+    out = mat.base.cmul(F) * f
+    return cselect(ok, out, black(cos_i.shape))
+
+
+def _conductor_rough_pdf(mat: MatParams, wi: Vec3, wo: Vec3):
+    au, av = jnp.maximum(mat.p2, 1e-5), jnp.maximum(mat.p3, 1e-5)
+    h = normalize(wi + wo)
+    pdf_h = mf.pdf_vndf_ggx(wo, h, au, av)
+    pdf = pdf_h * jnp.abs(mf.reflective_jacobian(dot(h, wo)))
+    ok = (wi.z > EPS) & (wo.z > EPS) & (mat.p2 > DELTA_ALPHA)
+    return jnp.where(ok, pdf, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Rough dielectric (dielectric.art make_rough_dielectric_bsdf)
+# ---------------------------------------------------------------------------
+
+def _diel_halfway(wi: Vec3, wo: Vec3, eta, is_transmission):
+    h_refl = normalize(wi + wo)
+    h_refr = normalize(wi + wo * eta)
+    return vselect(is_transmission, h_refr, h_refl)
+
+
+def _dielectric_rough_eval(mat: MatParams, is_entering, wi: Vec3,
+                           wo: Vec3) -> Color:
+    eta = _eta_ratio(mat, is_entering)
+    alpha = jnp.maximum(mat.p2, 1e-5)
+    cos_i = wi.z
+    cos_o = wo.z
+    is_trans = (cos_i * cos_o) < 0.0
+    h = _diel_halfway(wi, wo, eta, is_trans)
+    cos_h_i = dot(h, wi)
+    cos_h_o = dot(h, wo)
+    F = fr.fresnel_dielectric(eta, jnp.abs(cos_h_o)).factor
+    D = mf.ndf_ggx(h, alpha, alpha)
+    G = mf.g_separable(wi, wo, alpha, alpha)
+    refl = mat.base * (F * D * G * jnp.abs(mf.reflective_jacobian(cos_o)))
+    jac = mf.refractive_jacobian(eta, cos_h_i, cos_h_o)
+    norm = jnp.abs(safe_div(cos_h_o * jac, cos_o))
+    trans = mat.extra * ((1.0 - F) * D * G * norm)
+    ok = (jnp.abs(cos_i * cos_o) > EPS) & (jnp.abs(cos_h_i * cos_h_o) > EPS) \
+        & (mat.p2 > DELTA_ALPHA)
+    return cselect(ok, cselect(is_trans, trans, refl), black(cos_i.shape))
+
+
+def _dielectric_rough_pdf(mat: MatParams, is_entering, wi: Vec3, wo: Vec3):
+    eta = _eta_ratio(mat, is_entering)
+    alpha = jnp.maximum(mat.p2, 1e-5)
+    cos_i = wi.z
+    cos_o = wo.z
+    is_trans = (cos_i * cos_o) < 0.0
+    h = _diel_halfway(wi, wo, eta, is_trans)
+    cos_h_i = dot(h, wi)
+    cos_h_o = dot(h, wo)
+    F = fr.fresnel_dielectric(eta, jnp.abs(cos_h_o)).factor
+    mpdf = mf.pdf_vndf_ggx(wo, h, alpha, alpha)
+    p_refl = F * mpdf * jnp.abs(mf.reflective_jacobian(cos_h_o))
+    p_trans = (1.0 - F) * mpdf * jnp.abs(
+        mf.refractive_jacobian(eta, cos_h_i, cos_h_o))
+    pdf = jnp.where(is_trans, p_trans, p_refl)
+    ok = (jnp.abs(cos_i * cos_o) > EPS) & (jnp.abs(cos_h_i * cos_h_o) > EPS) \
+        & (mat.p2 > DELTA_ALPHA) & (mpdf > 1e-5)
+    return jnp.where(ok, pdf, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Plastic (plastic.art make_plastic_bsdf: fresnel mix of diffuse-with-inner-
+# scattering and a (rough) mirror coat)
+# ---------------------------------------------------------------------------
+
+def _plastic_parts(mat: MatParams, wi: Vec3, wo: Vec3):
+    eta = mat.p0 / jnp.maximum(mat.p1, 1e-6)
+    fdr = _fresnel_diffuse_factor(eta)
+    cos_i = jnp.abs(wi.z)
+    cos_o = jnp.abs(wo.z)
+    fi = fr.fresnel_dielectric(eta, cos_i).factor
+    fo = fr.fresnel_dielectric(eta, cos_o).factor
+    scatter = (1.0 - fi) * eta * eta / jnp.maximum(1.0 - fdr, 1e-4)
+    return fo, scatter
+
+
+def _plastic_eval(mat: MatParams, wi: Vec3, wo: Vec3) -> Color:
+    fo, scatter = _plastic_parts(mat, wi, wo)
+    cos_i = jnp.maximum(wi.z, 0.0)
+    diff = mat.base * (cos_i * INV_PI * scatter)
+    out = diff * (1.0 - fo)
+    # Rough coat contribution
+    rough = mat.p2 > DELTA_ALPHA
+    coat_mat = MatParams(mat.kind, mat.extra, Color(mat.p0 * 0, mat.p0 * 0, mat.p0 * 0),
+                         Color(mat.p0 * 0 + 1, mat.p0 * 0 + 1, mat.p0 * 0 + 1),
+                         mat.p0, mat.p1, mat.p2, mat.p2)
+    coat = _conductor_rough_eval(coat_mat, wi, wo)
+    return cselect(rough, cselect(fo > 0, out + coat * fo, out), out)
+
+
+def _plastic_pdf(mat: MatParams, wi: Vec3, wo: Vec3):
+    fo, _ = _plastic_parts(mat, wi, wo)
+    cos_i = jnp.maximum(wi.z, 0.0)
+    p = (1.0 - fo) * cosine_hemisphere_pdf(cos_i)
+    rough = mat.p2 > DELTA_ALPHA
+    coat_mat = mat._replace(p3=mat.p2)
+    p_coat = _conductor_rough_pdf(coat_mat, wi, wo)
+    return jnp.where(rough, p + fo * p_coat, p)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
 
 def eval_bsdf(mat: MatParams, frame: Frame, is_entering, in_dir: Vec3,
               out_dir: Vec3) -> Color:
-    """f(in, out) * cos(in, n). Delta kinds evaluate to 0."""
-    res = black(mat.p0.shape)
+    wi = frame.to_local(in_dir)
+    wo = frame.to_local(out_dir)
     kinds = mat.kind
-    res = cselect(kinds == BsdfKind.DIFFUSE,
-                  _diffuse_eval(mat, frame, in_dir, out_dir), res)
-    res = cselect(kinds == BsdfKind.PHONG,
-                  _phong_eval(mat, frame, in_dir, out_dir), res)
-    res = cselect(kinds == BsdfKind.PLASTIC,
-                  _plastic_eval(mat, frame, in_dir, out_dir), res)
+    res = black(mat.p0.shape)
+    res = cselect(kinds == BsdfKind.DIFFUSE, _diffuse_eval(mat, wi, wo), res)
+    res = cselect(kinds == BsdfKind.PHONG, _phong_eval(mat, wi, wo), res)
+    res = cselect(kinds == BsdfKind.PLASTIC, _plastic_eval(mat, wi, wo), res)
+    res = cselect(kinds == BsdfKind.CONDUCTOR,
+                  _conductor_rough_eval(mat, wi, wo), res)
+    res = cselect(kinds == BsdfKind.DIELECTRIC,
+                  _dielectric_rough_eval(mat, is_entering, wi, wo), res)
+    err = jnp.maximum(wi.z, 0.0) * INV_PI
     res = cselect(kinds == BsdfKind.NULL_ERROR,
-                  Color(jnp.maximum(dot(in_dir, frame.n), 0.0) * INV_PI,
-                        jnp.zeros_like(mat.p0),
-                        jnp.maximum(dot(in_dir, frame.n), 0.0) * INV_PI), res)
+                  Color(err, jnp.zeros_like(err), err), res)
     return res
 
 
 def pdf_bsdf(mat: MatParams, frame: Frame, is_entering, in_dir: Vec3,
              out_dir: Vec3) -> jnp.ndarray:
-    pdf = jnp.zeros(mat.p0.shape, jnp.float32)
-    cos_i = jnp.maximum(dot(in_dir, frame.n), 0.0)
+    wi = frame.to_local(in_dir)
+    wo = frame.to_local(out_dir)
     kinds = mat.kind
+    cos_i = jnp.maximum(wi.z, 0.0)
     cos_pdf = cosine_hemisphere_pdf(cos_i)
+    pdf = jnp.zeros(mat.p0.shape, jnp.float32)
     pdf = jnp.where(kinds == BsdfKind.DIFFUSE, cos_pdf, pdf)
     pdf = jnp.where(kinds == BsdfKind.NULL_ERROR, cos_pdf, pdf)
-    pdf = jnp.where(kinds == BsdfKind.PLASTIC, _plastic_pdf(mat, frame, in_dir, out_dir), pdf)
-    r = reflect(out_dir, frame.n)
-    c = jnp.maximum(dot(r, in_dir), 0.0)
+    pdf = jnp.where(kinds == BsdfKind.PLASTIC, _plastic_pdf(mat, wi, wo), pdf)
+    r = Vec3(-wo.x, -wo.y, wo.z)
+    c = jnp.maximum(dot(r, wi), 0.0)
     pdf = jnp.where(kinds == BsdfKind.PHONG,
                     cosine_power_hemisphere_pdf(c, mat.p0), pdf)
+    pdf = jnp.where(kinds == BsdfKind.CONDUCTOR,
+                    _conductor_rough_pdf(mat, wi, wo), pdf)
+    pdf = jnp.where(kinds == BsdfKind.DIELECTRIC,
+                    _dielectric_rough_pdf(mat, is_entering, wi, wo), pdf)
     return pdf
 
 
 def is_all_delta(mat: MatParams) -> jnp.ndarray:
     k = mat.kind
     delta = (k == BsdfKind.PASSTHROUGH)
-    smooth_diel = (k == BsdfKind.DIELECTRIC) & (mat.p2 <= EPS)
-    smooth_cond = (k == BsdfKind.CONDUCTOR) & (mat.p2 <= EPS)
+    smooth_diel = (k == BsdfKind.DIELECTRIC) & (mat.p2 <= DELTA_ALPHA)
+    smooth_cond = (k == BsdfKind.CONDUCTOR) & (mat.p2 <= DELTA_ALPHA)
     return delta | smooth_diel | smooth_cond
 
 
-# ---------------------------------------------------------------------------
-# Plastic: diffuse base + smooth dielectric coating
-# (reference bsdf/plastic.art simplified: fresnel-weighted lobes)
-# ---------------------------------------------------------------------------
-
-def _plastic_fresnel(mat: MatParams, cos_o):
-    k = mat.p0 / jnp.maximum(mat.p1, 1e-6)  # ext/int
-    return fr.fresnel_dielectric(k, jnp.maximum(cos_o, 0.0)).factor
-
-
-def _plastic_eval(mat: MatParams, frame: Frame, in_dir: Vec3, out_dir: Vec3) -> Color:
-    n = frame.n
-    cos_i = jnp.maximum(dot(in_dir, n), 0.0)
-    cos_o = jnp.maximum(dot(out_dir, n), 0.0)
-    fi = _plastic_fresnel(mat, cos_i)
-    fo = _plastic_fresnel(mat, cos_o)
-    return mat.base * ((1.0 - fi) * (1.0 - fo) * cos_i * INV_PI)
-
-
-def _plastic_pdf(mat: MatParams, frame: Frame, in_dir: Vec3, out_dir: Vec3):
-    cos_i = jnp.maximum(dot(in_dir, frame.n), 0.0)
-    cos_o = jnp.maximum(dot(out_dir, frame.n), 0.0)
-    fo = _plastic_fresnel(mat, cos_o)
-    return (1.0 - fo) * cosine_hemisphere_pdf(cos_i)
-
-
-# ---------------------------------------------------------------------------
-# Sampling
-# ---------------------------------------------------------------------------
-
 def sample_bsdf(mat: MatParams, frame: Frame, is_entering, out_dir: Vec3,
                 u0, u1, u2) -> BsdfSample:
-    """Masked-dispatch sample. u0..u2: uniforms in [0,1)."""
+    """Masked-dispatch sample. u0: lobe select; u1, u2: direction."""
     shape = mat.p0.shape
-    n = frame.n
     kinds = mat.kind
     zero = jnp.zeros(shape, jnp.float32)
     one = jnp.ones(shape, jnp.float32)
+    false = zero > 1
+    true = zero < 1
+    wo = frame.to_local(out_dir)
+    cos_o = wo.z
 
-    # --- diffuse-like cosine lobe (diffuse, error) -------------------------
-    ldir, cpdf = sample_cosine_hemisphere(u1, u2)
-    gdir = frame.to_world(ldir)
-    diff_sample = BsdfSample(gdir, cpdf, mat.base, one, zero > 1, cpdf > 0)
+    # --- shared samples ----------------------------------------------------
+    cdir, cpdf = sample_cosine_hemisphere(u1, u2)            # cosine lobe
+    h_l = mf.sample_vndf_ggx(wo, jnp.maximum(mat.p2, 1e-5),
+                             jnp.maximum(jnp.where(kinds == BsdfKind.CONDUCTOR,
+                                                   mat.p3, mat.p2), 1e-5),
+                             u1, u2)                          # vNDF half-vec
+
+    # --- diffuse (lambert: weight = kd; oren-nayar: weight = eval/pdf) -----
+    on_w = _oren_nayar_eval(mat.base, mat.p1, cdir, wo) * safe_div(1.0, cpdf)
+    diff_w = cselect(mat.p1 > EPS, on_w, mat.base)
+    diff_s = BsdfSample(cdir, cpdf, diff_w, one, false, cpdf > 0)
 
     # --- phong -------------------------------------------------------------
-    pk = mat.p0
-    pdir_l, ppdf = sample_cosine_power_hemisphere(pk, u1, u2)
-    r = reflect(out_dir, n)
-    rframe = Frame(*_frame_cols(r))
-    pdir = rframe.to_world(pdir_l)
-    p_cos = jnp.maximum(dot(pdir, n), 0.0)
-    p_eval = _phong_eval(mat, frame, pdir, out_dir)
-    p_w = cselect(ppdf > EPS, p_eval * (1.0 / jnp.maximum(ppdf, EPS)), black(shape))
-    phong_sample = BsdfSample(pdir, ppdf, p_w, one, zero > 1,
-                              (ppdf > EPS) & (p_cos > 0))
+    pdir_l, ppdf = sample_cosine_power_hemisphere(mat.p0, u1, u2)
+    r_wo = Vec3(-wo.x, -wo.y, wo.z)
+    rfr = make_frame(r_wo)
+    pdir = rfr.to_world(pdir_l)
+    p_eval = _phong_eval(mat, pdir, wo)
+    p_w = cselect(ppdf > EPS, p_eval * safe_div(1.0, ppdf), black(shape))
+    phong_s = BsdfSample(pdir, ppdf, p_w, one, false,
+                         (ppdf > EPS) & (pdir.z > 0))
 
-    # --- smooth dielectric -------------------------------------------------
-    k_ratio = jnp.where(is_entering, mat.p0 / jnp.maximum(mat.p1, 1e-6),
-                        mat.p1 / jnp.maximum(mat.p0, 1e-6))
-    cos_o = dot(out_dir, n)
-    f = fr.fresnel_dielectric(k_ratio, jnp.maximum(cos_o, 0.0))
-    refr_dir = n * (k_ratio * cos_o - f.cos_t) - out_dir * k_ratio
-    refl_dir = reflect(out_dir, n)
-    choose_refl = (u0 <= f.factor)
-    d_dir = vselect(choose_refl, refl_dir, refr_dir)
+    # --- conductor (smooth + rough) ----------------------------------------
+    refl_smooth = Vec3(-wo.x, -wo.y, wo.z)
+    f_smooth = _conductor_fresnel(mat.extra, mat.extra2, jnp.maximum(cos_o, 0.0))
+    cond_sm = BsdfSample(refl_smooth, one, mat.base.cmul(f_smooth), one,
+                         true, cos_o > 0)
+    au = jnp.maximum(mat.p2, 1e-5)
+    av = jnp.maximum(mat.p3, 1e-5)
+    refl_r = reflect(wo, h_l)
+    pdf_h = mf.pdf_vndf_ggx(wo, h_l, au, av)
+    pdf_r = pdf_h * jnp.abs(mf.reflective_jacobian(dot(h_l, wo)))
+    ev_r = _conductor_rough_eval(mat, refl_r, wo)
+    w_r = ev_r * safe_div(1.0, pdf_r)
+    cond_ro = BsdfSample(refl_r, pdf_r, w_r, one, false,
+                         (pdf_r > 1e-7) & (refl_r.z > 0) & (cos_o > 0))
+    cond_rough = mat.p2 > DELTA_ALPHA
+    cond_s = _sel_sample(cond_rough, cond_ro, cond_sm)
+
+    # --- dielectric (smooth + rough + thin) --------------------------------
+    k_ratio = _eta_ratio(mat, is_entering)
+    fsm = fr.fresnel_dielectric(k_ratio, jnp.maximum(cos_o, 0.0))
+    # refract about +z: t = n*(k cos_o - cos_t) - wo*k with n = (0,0,1)
+    refr_sm = Vec3(-wo.x * k_ratio, -wo.y * k_ratio,
+                   k_ratio * cos_o - fsm.cos_t - k_ratio * wo.z)
+    choose_refl = u0 <= fsm.factor
+    d_dir = vselect(choose_refl, refl_smooth, refr_sm)
     d_w = cselect(choose_refl, mat.base, mat.extra)
     d_eta = jnp.where(choose_refl, one, k_ratio)
-    # Thin approximation (p3 != 0): refraction = passthrough
     thin = mat.p3 > 0.5
-    kt = mat.p0 / jnp.maximum(mat.p1, 1e-6)
-    ft = fr.fresnel_dielectric(kt, jnp.abs(cos_o)).factor
+    kt_ratio = mat.p0 / jnp.maximum(mat.p1, 1e-6)
+    ft = fr.fresnel_dielectric(kt_ratio, jnp.abs(cos_o)).factor
     ft = ft + (1.0 - ft) * ft / (ft + 1.0)
-    thin_refl = (u0 <= ft)
-    d_dir = vselect(thin, vselect(thin_refl, refl_dir, -out_dir), d_dir)
+    thin_refl = u0 <= ft
+    d_dir = vselect(thin, vselect(thin_refl, refl_smooth, -wo), d_dir)
     d_w = cselect(thin, cselect(thin_refl, mat.base, mat.extra), d_w)
     d_eta = jnp.where(thin, one, d_eta)
-    diel_sample = BsdfSample(d_dir, one, d_w, d_eta, zero < 1, one > 0)
+    diel_sm = BsdfSample(d_dir, one, d_w, d_eta, true, true)
 
-    # --- smooth conductor / mirror ----------------------------------------
-    c_cos = jnp.maximum(cos_o, 0.0)
-    c_f = fr.fresnel_conductor(mat.extra, mat.extra2, c_cos)
-    cond_w = mat.base.cmul(c_f)
-    cond_sample = BsdfSample(refl_dir, one, cond_w, one, zero < 1, cos_o > 0)
+    # rough dielectric
+    cos_h_o = dot(h_l, wo)
+    frough = fr.fresnel_dielectric(k_ratio, jnp.abs(cos_h_o))
+    refl_h = reflect(wo, h_l)
+    refr_h = normalize(Vec3(
+        h_l.x * (k_ratio * cos_h_o - frough.cos_t) - wo.x * k_ratio,
+        h_l.y * (k_ratio * cos_h_o - frough.cos_t) - wo.y * k_ratio,
+        h_l.z * (k_ratio * cos_h_o - frough.cos_t) - wo.z * k_ratio))
+    dr_refl = u0 <= frough.factor
+    dr_dir = vselect(dr_refl, refl_h, refr_h)
+    alpha = jnp.maximum(mat.p2, 1e-5)
+    mpdf = mf.pdf_vndf_ggx(wo, h_l, alpha, alpha)
+    jac_refl = jnp.abs(mf.reflective_jacobian(cos_h_o))
+    jac_refr = jnp.abs(mf.refractive_jacobian(k_ratio, dot(h_l, dr_dir), cos_h_o))
+    sel_pdf = jnp.where(dr_refl, frough.factor * jac_refl,
+                        (1.0 - frough.factor) * jac_refr)
+    f_pdf = mpdf * sel_pdf
+    dr_eval = _dielectric_rough_eval(mat, is_entering, dr_dir, wo)
+    dr_w = dr_eval * safe_div(1.0, f_pdf)
+    dr_is_trans = (dr_dir.z * cos_o) < 0.0
+    dr_eta = jnp.where(dr_is_trans, k_ratio, one)
+    # Reject side-switching samples (reflection below horizon / transmission
+    # above): their pdf/eval classification would disagree with sampling.
+    dr_consistent = dr_refl != dr_is_trans
+    diel_ro = BsdfSample(dr_dir, f_pdf, dr_w, dr_eta, false,
+                         (f_pdf > 1e-7) & (jnp.abs(cos_h_o) > EPS)
+                         & dr_consistent)
+    diel_rough = (mat.p2 > DELTA_ALPHA) & ~thin
+    diel_s = _sel_sample(diel_rough, diel_ro, diel_sm)
 
     # --- passthrough -------------------------------------------------------
-    pass_sample = BsdfSample(-out_dir, one, Color(one, one, one), one,
-                             zero < 1, one > 0)
+    pass_s = BsdfSample(-wo, one, Color(one, one, one), one, true, true)
 
     # --- plastic -----------------------------------------------------------
-    fo = _plastic_fresnel(mat, jnp.maximum(cos_o, 0.0))
+    fo, scatter = _plastic_parts(mat, cdir, wo)
     pl_refl = u0 <= fo
-    pl_dir = vselect(pl_refl, refl_dir, gdir)
-    pl_pdf = jnp.where(pl_refl, fo, (1.0 - fo) * cpdf)
-    pl_w = cselect(pl_refl, Color(one, one, one), mat.base)
-    plastic_sample = BsdfSample(pl_dir, pl_pdf, pl_w, one, pl_refl,
-                                pl_pdf > 0)
+    # specular part: smooth -> mirror; rough -> vndf reflect
+    pl_rough = mat.p2 > DELTA_ALPHA
+    pl_spec_dir = vselect(pl_rough, refl_r, refl_smooth)
+    pl_dir = vselect(pl_refl, pl_spec_dir, cdir)
+    pl_pdf_d = (1.0 - fo) * cosine_hemisphere_pdf(jnp.maximum(pl_dir.z, 0.0))
+    coat_mat = mat._replace(p3=mat.p2)
+    pl_pdf_s = jnp.where(pl_rough, fo * _conductor_rough_pdf(coat_mat, pl_dir, wo), fo)
+    pl_eval = _plastic_eval(mat, pl_dir, wo)
+    # smooth spec: delta weight = extra (specular_reflectance)
+    pl_pdf = jnp.where(pl_rough, pl_pdf_d + pl_pdf_s,
+                       jnp.where(pl_refl, fo, pl_pdf_d))
+    w_diff = mat.base * (scatter * jnp.ones_like(fo))
+    pl_w = cselect(
+        pl_rough,
+        pl_eval * safe_div(1.0, pl_pdf),
+        cselect(pl_refl, mat.extra, w_diff))
+    plastic_s = BsdfSample(pl_dir, pl_pdf, pl_w, one,
+                           pl_refl & ~pl_rough, (pl_pdf > 1e-7) | (pl_refl & ~pl_rough))
 
-    def sel(kind_val, s: BsdfSample, cur: BsdfSample) -> BsdfSample:
-        m = kinds == kind_val
-        return BsdfSample(vselect(m, s.in_dir, cur.in_dir),
-                          jnp.where(m, s.pdf, cur.pdf),
-                          cselect(m, s.weight, cur.weight),
-                          jnp.where(m, s.eta, cur.eta),
-                          jnp.where(m, s.is_delta, cur.is_delta),
-                          jnp.where(m, s.valid, cur.valid))
+    def sel(kind_val, s, cur):
+        return _sel_sample(kinds == kind_val, s, cur)
 
-    out = diff_sample
-    out = sel(BsdfKind.PHONG, phong_sample, out)
-    out = sel(BsdfKind.DIELECTRIC, diel_sample, out)
-    out = sel(BsdfKind.CONDUCTOR, cond_sample, out)
-    out = sel(BsdfKind.PASSTHROUGH, pass_sample, out)
-    out = sel(BsdfKind.PLASTIC, plastic_sample, out)
+    out = diff_s
+    out = sel(BsdfKind.PHONG, phong_s, out)
+    out = sel(BsdfKind.DIELECTRIC, diel_s, out)
+    out = sel(BsdfKind.CONDUCTOR, cond_s, out)
+    out = sel(BsdfKind.PASSTHROUGH, pass_s, out)
+    out = sel(BsdfKind.PLASTIC, plastic_s, out)
     out = sel(BsdfKind.NULL_ERROR,
-              BsdfSample(diff_sample.in_dir, diff_sample.pdf,
-                         Color(one, zero, one), one, zero > 1,
-                         diff_sample.valid), out)
-    return out
+              BsdfSample(diff_s.in_dir, diff_s.pdf, Color(one, zero, one),
+                         one, false, diff_s.valid), out)
+    # Convert local direction to world
+    return out._replace(in_dir=frame.to_world(out.in_dir))
 
 
-def _frame_cols(n: Vec3):
-    from ..core.frame import make_frame
-    f = make_frame(n)
-    return f.t, f.b, f.n
+def _sel_sample(m, a: BsdfSample, b: BsdfSample) -> BsdfSample:
+    return BsdfSample(vselect(m, a.in_dir, b.in_dir),
+                      jnp.where(m, a.pdf, b.pdf),
+                      cselect(m, a.weight, b.weight),
+                      jnp.where(m, a.eta, b.eta),
+                      jnp.where(m, a.is_delta, b.is_delta),
+                      jnp.where(m, a.valid, b.valid))

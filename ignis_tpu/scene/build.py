@@ -191,16 +191,16 @@ def _bsdf_row(obj: SceneObject, name_to_tex, warnings: List[str]) -> dict:
         col("specular_transmittance", (1, 1, 1), "extra", "extra_tex")
         row["p0"] = ior("ext_ior", "vacuum")
         row["p1"] = ior("int_ior", "bk7")
-        row["p2"] = obj.get_number("roughness", 0.0)
+        row["p2"] = _roughness_uv(obj)[0]
         row["p3"] = 1.0 if (t == "thindielectric" or obj.get_bool("thin", False)) else 0.0
     elif t in ("conductor", "roughconductor", "mirror", "perfect_mirror"):
         row["kind"] = int(BsdfKind.CONDUCTOR)
         col("specular_reflectance", (1, 1, 1), "base", "base_tex")
-        mat = obj.get_string("material", "none" if "mirror" in t else "perfect")
+        mat = obj.get_string("material", "none")
         eta_k = CONDUCTOR_SPECTRA.get(mat.lower(), CONDUCTOR_SPECTRA["none"])
         row["extra"] = np.asarray(obj.get_color("eta", eta_k[0]))
         row["extra2"] = np.asarray(obj.get_color("k", eta_k[1]))
-        row["p2"] = obj.get_number("roughness", 0.0)
+        row["p2"], row["p3"] = _roughness_uv(obj)
     elif t in ("phong",):
         row["kind"] = int(BsdfKind.PHONG)
         col("specular_reflectance", (0.2, 0.2, 0.2))
@@ -208,9 +208,10 @@ def _bsdf_row(obj: SceneObject, name_to_tex, warnings: List[str]) -> dict:
     elif t in ("plastic", "roughplastic"):
         row["kind"] = int(BsdfKind.PLASTIC)
         col("diffuse_reflectance", (0.5, 0.5, 0.5))
+        col("specular_reflectance", (1, 1, 1), "extra", "extra_tex")
         row["p0"] = ior("ext_ior", "vacuum")
         row["p1"] = ior("int_ior", "bk7")
-        row["p2"] = obj.get_number("roughness", 0.0)
+        row["p2"] = _roughness_uv(obj)[0]
     elif t in ("passthrough", "null"):
         row["kind"] = int(BsdfKind.PASSTHROUGH)
     elif t in ("twosided",):
@@ -717,6 +718,24 @@ def _build_env_cdf(img: np.ndarray, compensate: bool) -> EnvMap:
     from ..core.cdf import build_cdf_2d
     cdf = build_cdf_2d(jnp.asarray((w * sin_theta).astype(np.float32)))
     return EnvMap(jnp.asarray(True), cdf.marginal, cdf.conditional)
+
+
+def _roughness_uv(obj: SceneObject):
+    """Reference BSDF::setupRoughness semantics: 'roughness'/'alpha' (+_u/_v
+    variants) + 'anisotropic'; alpha == roughness (no remap); no property at
+    all means a delta distribution."""
+    name = "alpha" if ("alpha" in obj.props or "alpha_u" in obj.props
+                       or "alpha_v" in obj.props) else "roughness"
+    if name + "_u" in obj.props or name + "_v" in obj.props:
+        ru = obj.get_number(name + "_u", 0.1)
+        rv = obj.get_number(name + "_v", ru)
+        return ru, rv
+    if name not in obj.props:
+        return 0.0, 0.0
+    r = obj.get_number(name, 0.1)
+    aniso = obj.get_number("anisotropic", 0.0)
+    aspect = math.sqrt(1.0 - min(max(aniso, 0.0), 1.0) * 0.99)
+    return r / aspect, r * aspect
 
 
 def _light_direction(obj: SceneObject) -> np.ndarray:

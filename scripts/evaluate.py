@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Golden-image evaluation harness.
+
+Analog of the reference scripts/RunEvaluations.py: render
+scenes/evaluation/*.json and compare against the bundled golden references
+(rendered by Mitsuba/Cycles/Radiance at high spp). Reports per-scene
+mean-relative-squared-error and a pass/fail verdict.
+
+Usage: python scripts/evaluate.py [--spp N] [--scenes a b c] [--out DIR]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+EVAL_DIR = Path("/root/reference/scenes/evaluation")
+REF_DIR = EVAL_DIR / "references"
+
+# Scenes currently expected to pass (grow this list as features land).
+DEFAULT_SCENES = [
+    "plane-d1", "plane-d6", "point", "env", "cbox-d1", "cbox-d6",
+    "emissive-plane", "emissive-plane-scale",
+    "sphere-light-ico", "sphere-light-uv", "sphere-light-pure",
+    "multilight-uniform", "three-planes-dielectric", "two-planes-mirror",
+    "two-planes-plastic", "flipped-prim-diffuse", "flipped-prim-glass",
+    "env4k-conditional",
+]
+
+
+def find_reference(name: str):
+    cands = sorted(REF_DIR.glob(f"ref-{name}*.exr"), key=lambda p: len(str(p)))
+    return cands[0] if cands else None
+
+
+def rel_mse(img, ref):
+    d = img - ref
+    return float(np.mean(d * d / (ref * ref + 1e-2)))
+
+
+def evaluate_scene(name: str, spp: int, out_dir: Path | None):
+    import jax
+    import ignis_tpu
+    from ignis_tpu.utils.exr import load_exr_rgb
+    from ignis_tpu.utils.image import save_image
+
+    scene_file = EVAL_DIR / f"{name}.json"
+    ref_file = find_reference(name)
+    if ref_file is None:
+        return name, None, None, "no-reference"
+    ref = load_exr_rgb(ref_file)
+
+    t0 = time.time()
+    rt = ignis_tpu.loadFromFile(scene_file)
+    for wmsg in rt.warnings:
+        print(f"  [warn] {wmsg}")
+    n = max(1, spp // max(rt.settings.spi, 1))
+    for _ in range(n):
+        rt.step()
+    img = rt.framebuffer(normalized=True)
+    wall = time.time() - t0
+
+    if img.shape != ref.shape:
+        import cv2
+        ref = cv2.resize(ref, (img.shape[1], img.shape[0]),
+                         interpolation=cv2.INTER_AREA)
+    err = rel_mse(img, ref)
+    if out_dir:
+        out_dir.mkdir(parents=True, exist_ok=True)
+        save_image(out_dir / f"{name}.png", img)
+        save_image(out_dir / f"{name}-ref.png", ref)
+        save_image(out_dir / f"{name}-diff.png",
+                   np.abs(img - ref) * 4.0)
+    return name, err, wall, None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spp", type=int, default=64)
+    ap.add_argument("--scenes", nargs="*", default=DEFAULT_SCENES)
+    ap.add_argument("--out", type=str, default="")
+    ap.add_argument("--threshold", type=float, default=0.01)
+    args = ap.parse_args()
+
+    out_dir = Path(args.out) if args.out else None
+    results = []
+    for name in args.scenes:
+        try:
+            name, err, wall, note = evaluate_scene(name, args.spp, out_dir)
+        except Exception as e:
+            print(f"{name:32s} ERROR: {e}")
+            results.append((name, None))
+            continue
+        if note:
+            print(f"{name:32s} SKIP ({note})")
+            continue
+        verdict = "ok" if err < args.threshold else "FAIL"
+        print(f"{name:32s} relMSE={err:.5f}  {wall:6.1f}s  {verdict}")
+        results.append((name, err))
+
+    errs = [e for _, e in results if e is not None]
+    n_fail = sum(1 for e in errs if e >= args.threshold)
+    n_err = sum(1 for _, e in results if e is None)
+    print(f"\n{len(errs) - n_fail}/{len(results)} passed "
+          f"({n_fail} over threshold, {n_err} errored)")
+    return 1 if (n_fail or n_err) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

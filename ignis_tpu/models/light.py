@@ -45,6 +45,7 @@ class LightParams(NamedTuple):
     intensity: Color
     p0: jnp.ndarray
     p1: jnp.ndarray
+    p2: jnp.ndarray
     tri_start: jnp.ndarray
     tri_count: jnp.ndarray
     tex: jnp.ndarray
@@ -70,7 +71,7 @@ def gather_light(lights: Lights, idx) -> LightParams:
         dir=Vec3(g(lights.dir.x), g(lights.dir.y), g(lights.dir.z)),
         intensity=Color(g(lights.intensity.r), g(lights.intensity.g),
                         g(lights.intensity.b)),
-        p0=g(lights.p0), p1=g(lights.p1),
+        p0=g(lights.p0), p1=g(lights.p1), p2=g(lights.p2),
         tri_start=g(lights.tri_start), tri_count=g(lights.tri_count),
         tex=g(lights.tex), delta=g(lights.delta), infinite=g(lights.infinite),
     )
@@ -180,6 +181,13 @@ def _sample_area_direct(scene: SceneData, lp: LightParams, from_point: Vec3,
     fn_len = length(fn)
     face_n = fn * safe_div(1.0, fn_len)
 
+    # Analytic-sphere area emitter (tri_count == 0): uniform surface point.
+    is_sphere = lp.tri_count == 0
+    sdir, _ = sample_uniform_sphere(u0, u1)
+    sp = lp.pos + sdir * lp.p2
+    p = vselect(is_sphere, sp, p)
+    face_n = vselect(is_sphere, sdir, face_n)
+
     to_l = p - from_point
     dist = length(to_l)
     d = to_l * safe_div(1.0, dist)
@@ -187,8 +195,10 @@ def _sample_area_direct(scene: SceneData, lp: LightParams, from_point: Vec3,
     cos = dot(d, face_n) * jnp.where(from_entering, -1.0, 1.0)
     total_area = lp.p0
     pdf_area = safe_div(1.0, total_area)
-    return DirectSample(p, d, lp.intensity, pdf_area, jnp.ones_like(dist) > 0,
-                        cos, dist)
+    # DirectSample convention: intensity already divided by the sample pdf
+    # (area.art make_shape_area_emitter weight = area * prim_count).
+    return DirectSample(p, d, lp.intensity * total_area, pdf_area,
+                        jnp.ones_like(dist) > 0, cos, dist)
 
 
 def _area_row_of(scene: SceneData, lp: LightParams):
@@ -254,9 +264,13 @@ def env_emission(scene: SceneData, lp: LightParams, ray_dir: Vec3,
         uv = _env_uv_from_dir(ld)
         tex_col = eval_texture(lp.tex, uv)
         out = cselect(lp.tex >= 0, tex_col.cmul(lp.intensity), out)
-    # Non-env infinite kinds (sun/directional) are delta: no emission on miss.
     is_env = lp.kind == LightKind.ENV
-    return cselect(is_env, out, black(lp.p0.shape))
+    # Sun disk (sun.art emission): radiance inside the cone, else black.
+    sun_dir = -lp.dir  # towards the sun
+    in_cone = dot(ray_dir, sun_dir) >= lp.p0
+    is_sun = (lp.kind == LightKind.SUN) & ~lp.delta
+    res = cselect(is_env, out, black(lp.p0.shape))
+    return cselect(is_sun & in_cone, lp.intensity, res)
 
 
 def env_pdf_direct(scene: SceneData, lp: LightParams, ray_dir: Vec3):
@@ -270,6 +284,11 @@ def env_pdf_direct(scene: SceneData, lp: LightParams, ray_dir: Vec3):
         sin_theta = jnp.sqrt(jnp.maximum(1.0 - ld.z * ld.z, 0.0))
         pdf_tex = safe_div(p2, sin_theta * PI * PI * 2.0)
         pdf = jnp.where(lp.tex >= 0, pdf_tex, pdf)
+    # Sun disk: uniform-cone pdf inside the cone (sun.art pdf_direct)
+    sun_dir = -lp.dir
+    in_cone = dot(ray_dir, sun_dir) >= lp.p0
+    sun_pdf = jnp.where(in_cone, uniform_cone_pdf(lp.p0), 0.0)
+    pdf = jnp.where(lp.kind == LightKind.SUN, sun_pdf, pdf)
     return pdf
 
 

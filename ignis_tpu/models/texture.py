@@ -31,6 +31,7 @@ class TexKind(IntEnum):
     VORONOI = 6
     CELLNOISE = 7
     CONSTANT = 8
+    PEXPR = 9       # compiled PExpr closure (desc.fn)
 
 
 class WrapMode(IntEnum):
@@ -46,11 +47,15 @@ class FilterMode(IntEnum):
 
 
 class TexDesc(NamedTuple):
-    """Static per-texture descriptor (hashable; lives in RenderSettings)."""
+    """Static per-texture descriptor (hashable; lives in RenderSettings).
+
+    `fn` holds a compiled PExpr closure for PEXPR textures (hashable by
+    object identity — scene rebuilds produce new settings, as intended)."""
     kind: int
     wrap_u: int
     wrap_v: int
     filter: int
+    fn: object = None
 
 
 class TexData(NamedTuple):
@@ -204,27 +209,74 @@ def _eval_noiselike(desc: TexDesc, tex: TexData, u, v) -> Color:
                    for i in range(3)])
 
 
-def _eval_one(desc: TexDesc, tex: TexData, u, v) -> Color:
+def _eval_one(desc: TexDesc, tex: TexData, ctx) -> Color:
+    u, v = ctx.uv
     if desc.kind == TexKind.IMAGE:
         return _eval_image(desc, tex, u, v)
     if desc.kind == TexKind.CHECKERBOARD:
         return _eval_checkerboard(tex, u, v)
     if desc.kind == TexKind.CONSTANT:
         return Color(*[jnp.broadcast_to(tex.color0[i], u.shape) for i in range(3)])
+    if desc.kind == TexKind.PEXPR:
+        r, g, b = desc.fn(ctx)
+        return Color(r, g, b)
     return _eval_noiselike(desc, tex, u, v)
 
 
+def make_shade_ctx(uv: Vec2, point=None, normal=None, face_normal=None,
+                   ray_dir=None, ray_org=None, prim_coords=None,
+                   entity_id=None, pixel=None, frontside=None,
+                   tangent=None, bitangent=None, scene_center=None,
+                   scene_radius=None, textures=None):
+    """Build a PExpr ShadeCtx; missing pieces default to zeros."""
+    from ..scene.pexpr import ShadeCtx
+    z = jnp.zeros_like(uv.x)
+    zv = (z, z, z)
+    npos = zv
+    if point is not None and scene_center is not None:
+        # Np: position normalized to the scene bounds (reference shading ctx)
+        inv = 1.0 / jnp.maximum(scene_radius, 1e-6)
+        npos = ((point[0] - scene_center[0]) * inv,
+                (point[1] - scene_center[1]) * inv,
+                (point[2] - scene_center[2]) * inv)
+    return ShadeCtx(
+        uv=(uv.x, uv.y),
+        point=point or zv, np_=npos,
+        normal=normal or zv, face_normal=face_normal or zv,
+        tangent=tangent or zv, bitangent=bitangent or zv,
+        ray_dir=ray_dir or zv, ray_org=ray_org or zv,
+        prim_coords=prim_coords or (z, z),
+        entity_id=entity_id if entity_id is not None else z.astype(jnp.int32),
+        pixel=pixel or (z.astype(jnp.int32), z.astype(jnp.int32)),
+        frontside=frontside if frontside is not None else z < 1,
+        textures=textures)
+
+
 def make_texture_evaluator(descs: Tuple[TexDesc, ...], datas):
-    """eval_texture(tex_id[N] int32, uv Vec2[N]) -> Color[N]; unrolled masked
-    select over the scene's textures (uniform control flow)."""
+    """eval_texture(tex_id[N] int32, ctx_or_uv) -> Color[N]; unrolled masked
+    select over the scene's textures (uniform control flow).
+
+    Accepts either a full pexpr.ShadeCtx or a bare Vec2 uv (non-PExpr uses).
+    """
     if not descs:
         return None
 
-    def eval_texture(tex_id, uv: Vec2) -> Color:
+    def eval_texture(tex_id, ctx) -> Color:
+        if isinstance(ctx, Vec2):
+            ctx = make_shade_ctx(ctx)
+        if ctx.textures is None:
+            # allow nested texture references from PExpr closures
+            ctx = ctx._replace(textures=lambda tid, uv: _nested(tid, uv))
+
+        def _nested(tid, uvt):
+            d, t = descs[tid], datas[tid]
+            c = _eval_one(d, t, ctx._replace(uv=uvt))
+            return (c.r, c.g, c.b)
+
         z = jnp.zeros(tex_id.shape, jnp.float32)
         out = Color(z, z, z)
         for i, (desc, tex) in enumerate(zip(descs, datas)):
-            c = _eval_one(desc, tex, uv.x, uv.y)
+            c = _eval_one(desc, tex, ctx)
             out = cselect(tex_id == i, c, out)
         return out
 

@@ -55,6 +55,80 @@ class BuiltScene:
     warnings: List[str] = field(default_factory=list)
 
 
+class TextureRegistry:
+    """Shared registry of texture nodes + PExpr compilation.
+
+    The ShadingTree analog: string color/number properties resolve to either
+    a named texture, or an implicit PExpr texture node compiled on demand.
+    """
+
+    def __init__(self, warnings: List[str], parameters=None):
+        self.descs: List = []
+        self.datas: List = []
+        self.name_to_tex: Dict[str, int] = {}
+        self.images: Dict[str, np.ndarray] = {}
+        self.warnings = warnings
+        self.parameters = parameters or {}
+        self._pexpr_cache: Dict[str, int] = {}
+
+    def _compiler(self):
+        from .pexpr import Compiler
+        params = {}
+        for name, p in self.parameters.items():
+            if isinstance(p, dict):
+                ptype = p.get("type", "number")
+                val = p.get("value", 0)
+            else:
+                ptype, val = "number", p
+            if ptype in ("number", "num", "int"):
+                params[name] = ("num", float(val))
+            elif ptype == "vector":
+                params[name] = ("vec3", tuple(float(x) for x in val))
+            else:
+                v = list(val) + [1.0]
+                params[name] = ("vec4", tuple(float(x) for x in v[:4]))
+        return Compiler(self.name_to_tex, params)
+
+    def add(self, name, desc, data) -> int:
+        tid = len(self.descs)
+        self.descs.append(desc)
+        self.datas.append(data)
+        if name:
+            self.name_to_tex[name] = tid
+        return tid
+
+    def resolve_color(self, s: str, what: str) -> int:
+        """Texture name or PExpr string -> texture id (-1 on failure)."""
+        if s in self.name_to_tex:
+            return self.name_to_tex[s]
+        if s in self._pexpr_cache:
+            return self._pexpr_cache[s]
+        try:
+            from ..models.texture import TexKind, make_procedural
+            fn = self._compiler().compile_color(s)
+            desc, data = make_procedural(TexKind.PEXPR, (0, 0, 0), (1, 1, 1))
+            desc = desc._replace(kind=int(TexKind.PEXPR), fn=fn)
+            tid = self.add(None, desc, data)
+            self._pexpr_cache[s] = tid
+            return tid
+        except Exception as e:
+            self.warnings.append(f"{what}: PExpr error: {e}")
+            return -1
+
+    def eval_constant_number(self, s: str):
+        """Evaluate a PExpr that must be constant (host-side, scalar)."""
+        try:
+            import jax.numpy as _j
+            from ..models.texture import make_shade_ctx
+            from ..core.vec import Vec2
+            fn = self._compiler().compile_number(s)
+            z = _j.zeros((1,), _j.float32)
+            ctx = make_shade_ctx(Vec2(z, z))
+            return float(np.asarray(fn(ctx))[0])
+        except Exception:
+            return None
+
+
 def _as_color_const(v, default) -> np.ndarray:
     if v is None:
         return np.asarray(default, np.float64)
@@ -156,7 +230,8 @@ def _shape_to_mesh(obj: SceneObject, warnings: List[str]) -> Optional[meshlib.Tr
     return m
 
 
-def _bsdf_row(obj: SceneObject, name_to_tex, warnings: List[str]) -> dict:
+def _bsdf_row(obj: SceneObject, texreg: "TextureRegistry",
+              warnings: List[str]) -> dict:
     """Translate a BSDF scene object into a Materials row dict."""
     t = obj.plugin_type
     row = dict(kind=int(BsdfKind.DIFFUSE),
@@ -167,9 +242,10 @@ def _bsdf_row(obj: SceneObject, name_to_tex, warnings: List[str]) -> dict:
     def col(key, default, slot="base", tex_slot="base_tex"):
         v = obj.get_color(key, default)
         if isinstance(v, str):
-            row[tex_slot] = name_to_tex.get(v, -1)
-            if row[tex_slot] < 0:
-                warnings.append(f"BSDF '{obj.name}': unresolved texture '{v}'")
+            tid = texreg.resolve_color(v, f"BSDF '{obj.name}' {key}")
+            row[tex_slot] = tid
+            if tid < 0:
+                warnings.append(f"BSDF '{obj.name}': unresolved '{v}'")
             row[slot] = np.asarray(default, np.float64)
         else:
             row[slot] = v
@@ -179,6 +255,13 @@ def _bsdf_row(obj: SceneObject, name_to_tex, warnings: List[str]) -> dict:
         s = obj.get_string(mat_key)
         if s and s.lower() in DIELECTRIC_IOR:
             return DIELECTRIC_IOR[s.lower()]
+        v = obj.get(key)
+        if isinstance(v, str):
+            c = texreg.eval_constant_number(v)
+            if c is not None:
+                return c
+            warnings.append(f"BSDF '{obj.name}': non-constant ior '{v}'")
+            return DIELECTRIC_IOR[default_name]
         return obj.get_number(key, DIELECTRIC_IOR[default_name])
 
     if t == "diffuse" or t == "roughdiffuse":
@@ -283,10 +366,9 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
     # --- textures ----------------------------------------------------------
     from ..models.texture import (FilterMode, TexKind, WrapMode,
                                   make_image_texture, make_procedural)
-    name_to_tex: Dict[str, int] = {}
-    tex_descs: List = []
-    tex_datas: List = []
-    tex_images: Dict[str, np.ndarray] = {}  # raw image per name (env CDFs)
+    texreg = TextureRegistry(warnings, scene.parameters)
+    name_to_tex = texreg.name_to_tex
+    tex_images = texreg.images  # raw image per name (env CDFs)
 
     def _wrap_of(s):
         return {"repeat": WrapMode.REPEAT, "mirror": WrapMode.MIRROR,
@@ -294,7 +376,6 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
 
     for name, obj in scene.textures.items():
         t = obj.plugin_type
-        tid = len(tex_descs)
         try:
             if t in ("image", "bitmap"):
                 from ..utils.image import load_image
@@ -329,24 +410,27 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
                 d, a = make_procedural(TexKind.CONSTANT,
                                        _as_color_const(obj.get("color"), (1, 1, 1)),
                                        (1, 1, 1))
+            elif t in ("expr", "pexpr"):
+                src = obj.get_string("expr", obj.get_string("value", "1"))
+                fn = texreg._compiler().compile_color(src)
+                d, a = make_procedural(TexKind.PEXPR, (0, 0, 0), (1, 1, 1))
+                d = d._replace(fn=fn)
             else:
                 warnings.append(f"Texture '{name}': type '{t}' TODO, using white")
                 d, a = make_procedural(TexKind.CONSTANT, (1, 1, 1), (1, 1, 1))
         except Exception as e:  # missing file etc.
             warnings.append(f"Texture '{name}': {e}; using magenta")
             d, a = make_procedural(TexKind.CONSTANT, (1, 0, 1), (1, 0, 1))
-        tex_descs.append(d)
-        tex_datas.append(a)
-        name_to_tex[name] = tid
+        texreg.add(name, d, a)
 
     # --- materials ---------------------------------------------------------
     mat_rows: List[dict] = []
     mat_index: Dict[str, int] = {}
     for name, obj in scene.bsdfs.items():
         mat_index[name] = len(mat_rows)
-        mat_rows.append(_bsdf_row(obj, name_to_tex, warnings))
+        mat_rows.append(_bsdf_row(obj, texreg, warnings))
     if not mat_rows:  # fallback material
-        mat_rows.append(_bsdf_row(SceneObject("diffuse", "_default"), {}, warnings))
+        mat_rows.append(_bsdf_row(SceneObject("diffuse", "_default"), texreg, warnings))
     default_mat = 0
 
     # --- media -------------------------------------------------------------
@@ -372,6 +456,7 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
     ent_names: List[str] = []
     ent_mat, ent_light, ent_med_in, ent_med_out = [], [], [], []
     ent_tri_range: Dict[str, tuple] = {}
+    ent_sphere: Dict[str, tuple] = {}
 
     all_points = []
 
@@ -407,6 +492,7 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
                 sph_radius.append(wr)
                 sph_ent.append(eid)
                 sph_shadow.append(shadow_visible)
+                ent_sphere[name] = (wc, wr)
                 all_points.append(wc[None] + np.array([[-wr, -wr, -wr], [wr, wr, wr]]))
         elif shape_name in meshes:
             src = meshes[shape_name]
@@ -433,7 +519,7 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
 
     def light_row(**kw):
         row = dict(kind=int(LightKind.POINT), pos=np.zeros(3), dir=np.array([0, 0, 1.0]),
-                   intensity=np.ones(3), p0=0.0, p1=0.0, entity=-1,
+                   intensity=np.ones(3), p0=0.0, p1=0.0, p2=0.0, entity=-1,
                    tri_start=0, tri_count=0, tex=-1, delta=False, infinite=False)
         row.update(kw)
         return row
@@ -477,25 +563,39 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
             if rad is None:
                 warnings.append(f"Area light '{name}': textured radiance TODO")
                 rad = np.ones(3)
+            if "power" in obj.props:
+                # radiance = power / (pi * area) (reference AreaLight power)
+                pass  # handled below once area known
             row_id = len(l_rows)
-            start, count = ent_tri_range.get(ent_name, (0, 0))
-            areas = np.asarray(tri_area[start:start + count], np.float64)
-            total = float(np.sum(areas))
-            cdf_local = np.cumsum(areas) / max(total, 1e-30)
-            a_start = len(area_tris)
-            area_tris.extend(range(start, start + count))
-            area_cdf.extend((row_id + cdf_local).tolist())
-            l_rows.append(light_row(kind=int(LightKind.AREA), intensity=rad,
-                                    p0=total, p1=float(row_id), entity=eid,
-                                    tri_start=a_start, tri_count=count))
+            if ent_name in ent_sphere:
+                wc, wr = ent_sphere[ent_name]
+                total = float(4.0 * np.pi * wr * wr)
+                l_rows.append(light_row(kind=int(LightKind.AREA),
+                                        intensity=rad, pos=np.asarray(wc),
+                                        p0=total, p1=float(row_id), p2=wr,
+                                        entity=eid))
+            else:
+                start, count = ent_tri_range.get(ent_name, (0, 0))
+                areas = np.asarray(tri_area[start:start + count], np.float64)
+                total = float(np.sum(areas))
+                cdf_local = np.cumsum(areas) / max(total, 1e-30)
+                a_start = len(area_tris)
+                area_tris.extend(range(start, start + count))
+                area_cdf.extend((row_id + cdf_local).tolist())
+                l_rows.append(light_row(kind=int(LightKind.AREA), intensity=rad,
+                                        p0=total, p1=float(row_id), entity=eid,
+                                        tri_start=a_start, tri_count=count))
+            if "power" in obj.props:
+                pw = _as_color_const(obj.get("power"), (1, 1, 1))
+                l_rows[row_id]["intensity"] = pw / (np.pi * max(total, 1e-30))
             ent_light[eid] = row_id
         elif t in ("env", "envmap", "environment", "uniform", "constant"):
             rad = obj.get_color("radiance", (1, 1, 1))
             scale = _as_color_const(obj.get("scale"), (1, 1, 1))
             if isinstance(rad, str):
-                tid = name_to_tex.get(rad, -1)
+                tid = texreg.resolve_color(rad, f"Env light '{name}'")
                 if tid < 0:
-                    warnings.append(f"Env light '{name}': unknown texture "
+                    warnings.append(f"Env light '{name}': unresolved "
                                     f"'{rad}', using white")
                     l_rows.append(light_row(kind=int(LightKind.ENV),
                                             intensity=scale, infinite=True))
@@ -512,19 +612,36 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
                                         intensity=np.asarray(rad) * scale,
                                         infinite=True))
         elif t == "sun":
+            # reference SunLight.cpp: direction points scene->sun; radiance
+            # given directly or via irradiance / sun disk area
             d = _light_direction(obj)
-            # reference sun.art: sun disk with angular radius; power scale
-            irr = obj.get_number("sun_scale", 1.0)
-            sun_radius = obj.get_number("sun_radius_scale", 1.0)
-            cos_angle = math.cos(0.00465 * sun_radius)  # ~0.266 deg solar radius
+            angle = obj.get_number("angle", 0.533)
+            from ..models.skysun import sun_area_from_angle
+            cos_angle = math.cos(math.radians(angle / 2.0))
+            if "radiance" in obj.props:
+                rad = _as_color_const(obj.get("radiance"), (1, 1, 1))
+            else:
+                irr = _as_color_const(obj.get("irradiance"), (1, 1, 1))
+                if irr is None:
+                    irr = np.ones(3)
+                rad = irr / sun_area_from_angle(angle)
             l_rows.append(light_row(kind=int(LightKind.SUN), dir=-d,
-                                    intensity=np.full(3, irr),
-                                    p0=cos_angle, delta=True, infinite=True))
-            warnings.append(f"Sun light '{name}': preliminary (no spectral irradiance)")
+                                    intensity=rad, p0=cos_angle,
+                                    delta=False, infinite=True))
         elif t in ("sky",):
-            warnings.append(f"Sky light '{name}': Hosek sky TODO, using gray env")
+            # Hosek-Wilkie sky baked to an equirect env texture + CDF
+            from ..models.skysun import bake_sky
+            from ..models.texture import make_image_texture
+            d = _light_direction(obj)
+            turb = obj.get_number("turbidity", 3.0)
+            ground = obj.get_vec3("ground", (0.8, 0.8, 0.8))
+            scale = _as_color_const(obj.get("scale"), (1, 1, 1))
+            sky_img = bake_sky(d, turb, ground)
+            td, ta = make_image_texture(sky_img, filt=1)
+            tid = texreg.add(f"__sky_{name}", td, ta)
+            envmap = _build_env_cdf(sky_img, compensate=False)
             l_rows.append(light_row(kind=int(LightKind.ENV),
-                                    intensity=np.full(3, 0.5), infinite=True))
+                                    intensity=scale, tex=tid, infinite=True))
         else:
             warnings.append(f"Unsupported light type '{t}', skipped")
 
@@ -610,6 +727,7 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         pos=soa3(lcol("pos")), dir=soa3(lcol("dir")),
         intensity=Color(*[jnp.asarray(lcol("intensity")[:, i]) for i in range(3)]),
         p0=jnp.asarray(lcol("p0")), p1=jnp.asarray(lcol("p1")),
+        p2=jnp.asarray(lcol("p2")),
         entity=jnp.asarray(lcol("entity").astype(np.int32)),
         tri_start=jnp.asarray(lcol("tri_start").astype(np.int32)),
         tri_count=jnp.asarray(lcol("tri_count").astype(np.int32)),
@@ -660,7 +778,7 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
     data = SceneData(tris=tris, tri_attr=attr, spheres=spheres,
                      sph_attr=sph_attr, entities=entities, materials=materials,
                      lights=lights, envmap=envmap, camera=camera, media=media,
-                     textures=tuple(tex_datas),
+                     textures=tuple(texreg.datas),
                      scene_radius=jnp.float32(radius),
                      scene_center=Vec3(*[jnp.float32(v) for v in center]))
 
@@ -671,7 +789,8 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         spi=int(overrides.get("spi", 1)), seed=int(overrides.get("seed", 0)),
         camera_type=cam_type, fish_mode=fish_mode,
         infinite_light_rows=infinite_rows, n_lights=n_lights,
-        texture_descs=tuple(tex_descs))
+        texture_descs=tuple(texreg.descs),
+        debug_mode=tech.get_int("mode", 0) if tech else 0)
 
     return BuiltScene(data=data, settings=settings, warnings=warnings)
 

@@ -88,6 +88,7 @@ class Lights(NamedTuple):
     intensity: Color
     p0: jnp.ndarray
     p1: jnp.ndarray
+    p2: jnp.ndarray         # sphere-area radius / aux
     entity: jnp.ndarray     # [L] i32 (area lights), else -1
     tri_start: jnp.ndarray  # [L] i32 start into area_tris
     tri_count: jnp.ndarray  # [L] i32
@@ -160,5 +161,6 @@ class RenderSettings:
     aov_normals: bool = False
     light_selector: str = "uniform"
     remat: bool = False  # per-bounce rematerialization (for grad memory)
+    debug_mode: int = 0
     # static per-texture descriptors (models/texture.py TexDesc tuples)
     texture_descs: Tuple = ()

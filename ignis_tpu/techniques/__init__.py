@@ -8,16 +8,21 @@ jax trace*, which corrupts constant bookkeeping across executables
 from __future__ import annotations
 
 from . import path as _path
+from . import volpath as _volpath
+from . import simple as _simple
 
 
 def dispatch_technique(name: str):
-    if name in ("path", "pt", "volpath"):
-        # volpath falls back to path until media support lands
+    if name in ("path", "pt"):
         return _path.path_trace
+    if name in ("volpath",):
+        return _volpath.volpath_trace
     if name in ("ao", "aotracer"):
-        from . import ao
-        return ao.ao_trace
+        return _simple.ao_trace
     if name in ("debug",):
-        from . import debug
-        return debug.debug_trace
+        return _simple.debug_trace
+    if name in ("wireframe",):
+        return _simple.wireframe_trace
+    if name in ("lightvisibility", "camera_check"):
+        return _simple.light_visibility_trace
     raise ValueError(f"Unknown technique '{name}'")

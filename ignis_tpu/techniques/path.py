@@ -117,7 +117,30 @@ def compute_surface(scene: SceneData, rays: Rays, hit: Hit) -> Surface:
     return Surface(point, face_n, ns, uv, is_entering, ent)
 
 
-def gather_material(scene: SceneData, surf: Surface, eval_texture=None) -> MatParams:
+def make_surface_ctx(scene: SceneData, rays: Rays, surf: Surface,
+                     eval_texture):
+    """PExpr shading context at a surface hit (Transpiler variable set)."""
+    from ..models.texture import make_shade_ctx
+    from ..core.frame import make_frame as _mf
+    fr = _mf(surf.ns)
+    return make_shade_ctx(
+        surf.uv,
+        point=(surf.point.x, surf.point.y, surf.point.z),
+        normal=(surf.ns.x, surf.ns.y, surf.ns.z),
+        face_normal=(surf.face_n.x, surf.face_n.y, surf.face_n.z),
+        tangent=(fr.t.x, fr.t.y, fr.t.z),
+        bitangent=(fr.b.x, fr.b.y, fr.b.z),
+        ray_dir=(-rays.dir.x, -rays.dir.y, -rays.dir.z),
+        ray_org=(rays.org.x, rays.org.y, rays.org.z),
+        entity_id=surf.ent,
+        frontside=surf.is_entering,
+        scene_center=(scene.scene_center.x, scene.scene_center.y,
+                      scene.scene_center.z),
+        scene_radius=scene.scene_radius)
+
+
+def gather_material(scene: SceneData, surf: Surface, eval_texture=None,
+                    ctx=None) -> MatParams:
     m = scene.materials
     mid = scene.entities.mat[jnp.clip(surf.ent, 0, None)]
     g = lambda a: a[mid]
@@ -126,9 +149,13 @@ def gather_material(scene: SceneData, surf: Surface, eval_texture=None) -> MatPa
                     extra2=gc(m.extra2), p0=g(m.p0), p1=g(m.p1), p2=g(m.p2),
                     p3=g(m.p3))
     if eval_texture is not None:
+        lookup_ctx = ctx if ctx is not None else surf.uv
         base_tex = m.base_tex[mid]
-        tex_col = eval_texture(base_tex, surf.uv)
+        tex_col = eval_texture(base_tex, lookup_ctx)
         mat = mat._replace(base=cselect(base_tex >= 0, tex_col, mat.base))
+        extra_tex = m.extra_tex[mid]
+        tex_col2 = eval_texture(extra_tex, lookup_ctx)
+        mat = mat._replace(extra=cselect(extra_tex >= 0, tex_col2, mat.extra))
     return mat
 
 
@@ -194,7 +221,9 @@ def path_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
         # ---- hit shading --------------------------------------------------
         active = state.alive & found
         surf = compute_surface(scene, rays_b, hit)
-        mat = gather_material(scene, surf, eval_texture)
+        sctx = (make_surface_ctx(scene, rays_b, surf, eval_texture)
+                if eval_texture is not None else None)
+        mat = gather_material(scene, surf, eval_texture, sctx)
         all_delta = bsdflib.is_all_delta(mat)
         out_dir = -state.dir
         frame = make_frame(surf.ns)

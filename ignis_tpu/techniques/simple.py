@@ -1,0 +1,124 @@
+"""Simple techniques: AO, debug views, wireframe, light visibility.
+
+Mirrors /root/reference/src/artic/technique/{aotracer,debugtracer,
+wireframe,lightvisibility}.art in vectorized single-pass form.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import rng as rnglib
+from ..core.frame import make_frame
+from ..core.vec import Color, Vec3, black, cselect, dot
+from ..core.warp import sample_cosine_hemisphere
+from ..models import bsdf as bsdflib
+from ..ops.intersect import FLT_MAX, Rays
+from ..scenedata import RenderSettings, SceneData
+from .path import OFFSET, compute_surface, gather_material, occluded_scene, \
+    trace_scene
+
+
+def ao_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
+             rng_state, eval_texture=None) -> Color:
+    """Ambient occlusion: white where the cosine-sampled hemisphere ray
+    escapes (aotracer.art)."""
+    hit = trace_scene(scene, rays)
+    found = hit.prim >= 0
+    surf = compute_surface(scene, rays, hit)
+    frame = make_frame(surf.ns)
+    rng, (u0, u1) = rnglib.next_f32_n(rng_state, 2)
+    ldir, pdf = sample_cosine_hemisphere(u0, u1)
+    d = frame.to_world(ldir)
+    n = rays.tmin.shape
+    srays = Rays(surf.point, d, jnp.broadcast_to(OFFSET, n),
+                 jnp.full(n, FLT_MAX))
+    occ = occluded_scene(scene, srays)
+    lit = found & ~occ
+    v = jnp.where(lit, 1.0, 0.0)
+    return Color(v, v, v)
+
+
+def _abs_color(v: Vec3) -> Color:
+    return Color(jnp.abs(v.x), jnp.abs(v.y), jnp.abs(v.z))
+
+
+def _palette(i):
+    """Reference colormap::palette-style distinct colors from an id."""
+    h = (i.astype(jnp.uint32) * jnp.uint32(2654435761)) & jnp.uint32(0xFFFFFF)
+    r = ((h >> jnp.uint32(16)) & jnp.uint32(0xFF)).astype(jnp.float32) / 255.0
+    g = ((h >> jnp.uint32(8)) & jnp.uint32(0xFF)).astype(jnp.float32) / 255.0
+    b = (h & jnp.uint32(0xFF)).astype(jnp.float32) / 255.0
+    return Color(r, g, b)
+
+
+def debug_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
+                rng_state, eval_texture=None) -> Color:
+    """Debug views (debugtracer.art modes; settings.debug_mode)."""
+    hit = trace_scene(scene, rays)
+    found = hit.prim >= 0
+    surf = compute_surface(scene, rays, hit)
+    frame = make_frame(surf.ns)
+    mode = getattr(settings, "debug_mode", 0)
+
+    if mode == 1:
+        c = _abs_color(frame.t)
+    elif mode == 2:
+        c = _abs_color(frame.b)
+    elif mode == 3:
+        c = _abs_color(surf.face_n)
+    elif mode == 8:
+        c = Color(jnp.abs(surf.uv.x), jnp.abs(surf.uv.y),
+                  jnp.zeros_like(surf.uv.x))
+    elif mode == 9:
+        c = Color(jnp.abs(hit.u), jnp.abs(hit.v), jnp.zeros_like(hit.u))
+    elif mode == 13:
+        c = Color(hit.t, hit.t, hit.t)
+    elif mode in (16, 15):
+        c = _palette(hit.prim)
+    elif mode in (17, 18):
+        c = _palette(surf.ent)
+    elif mode in (19, 20):
+        mid = scene.entities.mat[jnp.clip(surf.ent, 0, None)]
+        c = _palette(mid)
+    else:  # 0 / default: shading normal
+        c = _abs_color(frame.n)
+    return cselect(found, c, black(rays.tmin.shape))
+
+
+def wireframe_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
+                    rng_state, eval_texture=None) -> Color:
+    """Edge highlight: barycentric proximity to a triangle edge
+    (wireframe.art uses hit distance to edges; this is the same visual)."""
+    hit = trace_scene(scene, rays)
+    found = hit.prim >= 0
+    w = 1.0 - hit.u - hit.v
+    edge_dist = jnp.minimum(jnp.minimum(hit.u, hit.v), w)
+    on_edge = found & (edge_dist < 0.02)
+    v = jnp.where(on_edge, 1.0, 0.0)
+    return Color(v, v, v)
+
+
+def light_visibility_trace(scene: SceneData, settings: RenderSettings,
+                           rays: Rays, rng_state, eval_texture=None) -> Color:
+    """Binary visibility of any light by NEE from the first hit
+    (lightvisibility.art simplification)."""
+    from ..models import light as lightlib
+    hit = trace_scene(scene, rays)
+    found = hit.prim >= 0
+    surf = compute_surface(scene, rays, hit)
+    n = rays.tmin.shape
+    if settings.n_lights == 0:
+        z = jnp.zeros(n)
+        return Color(z, z, z)
+    rng, (ul, u0, u1) = rnglib.next_f32_n(rng_state, 3)
+    lsel, _ = lightlib.select_uniform(settings.n_lights, ul)
+    lp = lightlib.gather_light(scene.lights, lsel)
+    ls = lightlib.sample_direct(scene, lp, surf.point, surf.is_entering,
+                                u0, u1, eval_texture)
+    from ..core.vec import vselect
+    sdir = vselect(lp.infinite, ls.dir, ls.pos - surf.point)
+    stmax = jnp.where(lp.infinite, FLT_MAX, 1.0 - OFFSET)
+    srays = Rays(surf.point, sdir, jnp.broadcast_to(OFFSET, n), stmax)
+    occ = occluded_scene(scene, srays)
+    v = jnp.where(found & ~occ & (ls.cos > 0), 1.0, 0.0)
+    return Color(v, v, v)

@@ -1,0 +1,209 @@
+"""Volumetric path tracer (homogeneous media).
+
+Mirrors /root/reference/src/artic/technique/volpathtracer.art, including its
+estimator choices:
+  - per-bounce distance sampling with the min-channel exponential; a medium
+    event replaces the surface continuation, surface branch keeps full Tr
+  - surface emission/NEE always contribute, weighted by segment transmittance
+  - medium interactions scatter by Henyey-Greenstein (weight 1) and flag
+    inv_pdf = -1 so the next hit's MIS treats them as non-MIS-able
+  - crossing a transmissive surface switches the lane's medium to the
+    entity's inner/outer medium
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng as rnglib
+from ..core.frame import make_frame
+from ..core.vec import (Color, Vec3, black, color_max_component, cselect, dot,
+                        safe_div, vselect, white)
+from ..models import bsdf as bsdflib
+from ..models import light as lightlib
+from ..models import medium as medlib
+from ..ops.intersect import FLT_MAX, Rays
+from ..scenedata import RenderSettings, SceneData
+from .path import (OFFSET, _cadd_where, _handle_color, _infinite_rows,
+                   compute_surface, gather_material, make_surface_ctx,
+                   occluded_scene, trace_scene)
+
+
+class VolPathState(NamedTuple):
+    org: Vec3
+    dir: Vec3
+    tmin: jnp.ndarray
+    tmax: jnp.ndarray
+    rng: jnp.ndarray
+    contrib: Color
+    inv_pdf: jnp.ndarray   # < 0 flags a medium interaction
+    eta: jnp.ndarray
+    medium: jnp.ndarray    # i32 current medium id (-1 vacuum)
+    alive: jnp.ndarray
+    result: Color
+
+
+def volpath_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
+                  rng_state, eval_texture=None) -> Color:
+    n = rays.tmin.shape
+    n_lights = settings.n_lights
+    sel_pdf_const = 1.0 / max(n_lights, 1)
+
+    init = VolPathState(
+        org=rays.org, dir=rays.dir, tmin=rays.tmin, tmax=rays.tmax,
+        rng=rng_state, contrib=white(n), inv_pdf=jnp.zeros(n),
+        eta=jnp.ones(n), medium=jnp.full(n, -1, jnp.int32),
+        alive=jnp.ones(n, bool), result=black(n))
+
+    def bounce(state: VolPathState, b):
+        rays_b = Rays(state.org, state.dir, state.tmin, state.tmax)
+        hit = trace_scene(scene, rays_b)
+        found = hit.prim >= 0
+        result = state.result
+        med = medlib.gather_medium(scene.media, state.medium)
+
+        mis_inv_pdf = jnp.maximum(state.inv_pdf, 0.0)
+
+        # ---- miss: infinite lights (with eval_inf transmittance) ----------
+        miss = state.alive & ~found
+        # eval_inf: white only if sigma_t ~ 0 (vacuum), else black
+        inf_tr = (med.sigma_t.r + med.sigma_t.g + med.sigma_t.b) <= 1e-4
+        for lid in _infinite_rows(scene, settings):
+            lp = lightlib.gather_light(scene.lights,
+                                       jnp.full(n, lid, jnp.int32))
+            emit = lightlib.env_emission(scene, lp, state.dir, eval_texture)
+            pdf_s = lightlib.env_pdf_direct(scene, lp, state.dir)
+            mis = (1.0 / (1.0 + mis_inv_pdf * sel_pdf_const * pdf_s)
+                   if settings.enable_nee else jnp.ones(n))
+            c = _handle_color(state.contrib.cmul(emit) * mis, settings)
+            result = _cadd_where(miss & ~lp.delta & inf_tr, result, c)
+
+        # ---- hit shading --------------------------------------------------
+        active = state.alive & found
+        surf = compute_surface(scene, rays_b, hit)
+        sctx = (make_surface_ctx(scene, rays_b, surf, eval_texture)
+                if eval_texture is not None else None)
+        mat = gather_material(scene, surf, eval_texture, sctx)
+        all_delta = bsdflib.is_all_delta(mat)
+        out_dir = -state.dir
+        frame = make_frame(surf.ns)
+        seg_tr = medlib.transmittance(med, hit.t)
+
+        # Emission on hit
+        light_row = scene.entities.light[jnp.clip(surf.ent, 0, None)]
+        is_emissive = light_row >= 0
+        lp_hit = lightlib.gather_light(scene.lights, jnp.clip(light_row, 0, None))
+        cos_l = -dot(state.dir, frame.n)
+        emit_ok = active & is_emissive & surf.is_entering & (cos_l > 1e-6)
+        pdf_area = safe_div(1.0, lp_hit.p0)
+        pdf_s = pdf_area * safe_div(hit.t * hit.t, cos_l)
+        mis_e = (1.0 / (1.0 + mis_inv_pdf * sel_pdf_const * pdf_s)
+                 if settings.enable_nee else jnp.ones(n))
+        c_emit = _handle_color(
+            state.contrib.cmul(lp_hit.intensity.cmul(seg_tr)) * mis_e, settings)
+        result = _cadd_where(emit_ok, result, c_emit)
+
+        rng = state.rng
+        depth = b + 1
+        was_medium = state.inv_pdf < 0.0
+
+        # ---- NEE from the surface -----------------------------------------
+        if settings.enable_nee and n_lights > 0:
+            rng, (ul, u0, u1) = rnglib.next_f32_n(rng, 3)
+            lsel, sel_pdf = lightlib.select_uniform(n_lights, ul)
+            lp = lightlib.gather_light(scene.lights, lsel)
+            ls = lightlib.sample_direct(scene, lp, surf.point,
+                                        surf.is_entering, u0, u1, eval_texture)
+            pdf_l_s = lightlib.pdf_as_solid(ls.pdf_value, ls.pdf_is_area,
+                                            ls.cos, ls.dist * ls.dist) * sel_pdf
+            bsdf_f = bsdflib.eval_bsdf(mat, frame, surf.is_entering,
+                                       ls.dir, out_dir)
+            bsdf_p = bsdflib.pdf_bsdf(mat, frame, surf.is_entering,
+                                      ls.dir, out_dir)
+            mis = jnp.where(lp.delta | was_medium, 1.0,
+                            1.0 / (1.0 + safe_div(bsdf_p, pdf_l_s)))
+            factor = safe_div(ls.pdf_value, pdf_l_s)
+            # Transmittance: camera segment + shadow segment (same medium
+            # approximation, reference TODO comment)
+            shadow_tr = medlib.transmittance(med, ls.dist)
+            contrib_nee = _handle_color(
+                ls.intensity.cmul(state.contrib.cmul(bsdf_f))
+                * (mis * factor), settings).cmul(seg_tr.cmul(shadow_tr))
+            want = (active & ~all_delta & (depth + 1 <= settings.max_depth)
+                    & (pdf_l_s > 1e-9) & (ls.cos > 1e-6)
+                    & (color_max_component(contrib_nee) > 0))
+            svec_fin = ls.pos - surf.point
+            sdir = vselect(lp.infinite, ls.dir, svec_fin)
+            stmax = jnp.where(lp.infinite, FLT_MAX, 1.0 - OFFSET)
+            shadow_rays = Rays(surf.point, sdir,
+                               jnp.broadcast_to(OFFSET, n), stmax)
+            occ = occluded_scene(scene, shadow_rays)
+            result = _cadd_where(want & ~occ, result, contrib_nee)
+
+        # ---- continuation: medium event or surface bounce -----------------
+        rng, (um, up0, up1, b0, b1, b2, b_rr) = rnglib.next_f32_n(rng, 7)
+        ms = medlib.sample_distance(med, hit.t, um)
+        # Medium branch
+        phase_dir, _ = medlib.sample_hg(med.g, out_dir, up0, up1)
+        med_contrib = state.contrib.cmul(ms.weight)
+        med_org = state.org + state.dir * ms.t
+        # Surface branch
+        bs = bsdflib.sample_bsdf(mat, frame, surf.is_entering, out_dir,
+                                 b0, b1, b2)
+        surf_contrib = state.contrib.cmul(seg_tr).cmul(bs.weight)
+
+        take_med = active & ms.valid
+        new_contrib = cselect(take_med, med_contrib, surf_contrib)
+        rr_c = color_max_component(new_contrib) * state.eta * state.eta
+        rr_prob = jnp.clip(rr_c, 0.05, 0.95)
+        rr_prob = jnp.where(depth + 1 > settings.min_depth, rr_prob, 1.0)
+        survive = b_rr < rr_prob
+        surf_ok = bs.valid & (bs.pdf > 1e-9)
+        cont = (active & survive & (depth + 1 <= settings.max_depth)
+                & (take_med | surf_ok))
+        new_contrib = new_contrib * (1.0 / rr_prob)
+
+        # Medium transition on transmission through the surface
+        is_trans = dot(frame.n, bs.in_dir) < 0.0
+        ent = jnp.clip(surf.ent, 0, None)
+        inner = scene.entities.med_inner[ent]
+        outer = scene.entities.med_outer[ent]
+        new_med_surface = jnp.where(
+            is_trans, jnp.where(surf.is_entering, inner, outer), state.medium)
+
+        new_inv_pdf = jnp.where(take_med, -1.0,
+                                jnp.where(bs.is_delta, 0.0,
+                                          safe_div(1.0, bs.pdf)))
+        new_state = VolPathState(
+            org=vselect(take_med, med_org, surf.point),
+            dir=vselect(take_med, phase_dir, bs.in_dir),
+            tmin=jnp.where(take_med, 0.0, OFFSET),
+            tmax=jnp.full(n, FLT_MAX),
+            rng=rng,
+            contrib=cselect(cont, new_contrib, state.contrib),
+            inv_pdf=jnp.where(cont, new_inv_pdf, state.inv_pdf),
+            eta=jnp.where(cont & ~take_med, state.eta * bs.eta, state.eta),
+            medium=jnp.where(cont & ~take_med, new_med_surface, state.medium),
+            alive=cont,
+            result=result)
+        return new_state, None
+
+    if settings.remat:
+        bounce_ckpt = jax.checkpoint(bounce, prevent_cse=False)
+        final, _ = jax.lax.scan(bounce_ckpt, init,
+                                jnp.arange(settings.max_depth))
+        return final.result
+
+    def cond(carry):
+        b, state = carry
+        return (b < settings.max_depth) & jnp.any(state.alive)
+
+    def body(carry):
+        b, state = carry
+        state, _ = bounce(state, b)
+        return (b + 1, state)
+
+    _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
+    return final.result

@@ -35,8 +35,18 @@ DEFAULT_SCENES = [
 
 
 def find_reference(name: str):
-    cands = sorted(REF_DIR.glob(f"ref-{name}*.exr"), key=lambda p: len(str(p)))
-    return cands[0] if cands else None
+    """Match ref-{name}*.exr; variants share a base reference (e.g.
+    sphere-light-ico -> ref-sphere-light-4096.exr)."""
+    probe = name
+    while probe:
+        cands = sorted(REF_DIR.glob(f"ref-{probe}*.exr"),
+                       key=lambda p: len(str(p)))
+        if cands:
+            return cands[0]
+        if "-" not in probe:
+            return None
+        probe = probe.rsplit("-", 1)[0]
+    return None
 
 
 def rel_mse(img, ref):

@@ -92,7 +92,8 @@ def length_squared(a: Vec3) -> Array:
 
 
 def length(a: Vec3) -> Array:
-    return jnp.sqrt(dot(a, a))
+    # max() keeps reverse-mode finite at zero vectors (sqrt'(0) = inf)
+    return jnp.sqrt(jnp.maximum(dot(a, a), 1e-24))
 
 
 def safe_div(a, b):
@@ -101,7 +102,9 @@ def safe_div(a, b):
 
 
 def normalize(a: Vec3) -> Vec3:
-    il = jnp.where(dot(a, a) > 0, 1.0 / jnp.sqrt(jnp.maximum(dot(a, a), 1e-30)), 0.0)
+    # 1e-12 floor: rsqrt' stays finite in float32 reverse-mode
+    l2 = dot(a, a)
+    il = jnp.where(l2 > 0, 1.0 / jnp.sqrt(jnp.maximum(l2, 1e-12)), 0.0)
     return a * il
 
 

@@ -18,7 +18,8 @@ INV_4PI = jnp.float32(1.0 / (4.0 * jnp.pi))
 
 
 def safe_sqrt(x):
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    # small positive floor keeps gradients finite (sqrt'(0) = inf)
+    return jnp.sqrt(jnp.maximum(x, 1e-24))
 
 
 def _from_theta_phi(c, s, phi):
@@ -27,7 +28,7 @@ def _from_theta_phi(c, s, phi):
 
 def spherical_from_dir(d: Vec3):
     """Return (theta, phi) with theta in [0,pi] from +Z, phi in [0,2pi)."""
-    theta = jnp.arccos(jnp.clip(d.z, -1.0, 1.0))
+    theta = jnp.arccos(jnp.clip(d.z, -1.0 + 1e-7, 1.0 - 1e-7))
     phi = jnp.arctan2(d.y, d.x)
     phi = jnp.where(phi < 0, phi + TWO_PI, phi)
     return theta, phi
@@ -72,7 +73,8 @@ def sample_uniform_hemisphere(u, v):
 
 
 def cosine_power_hemisphere_pdf(c, k):
-    return jnp.power(jnp.maximum(c, 0.0), k) * (k + 1.0) * INV_2PI
+    # eps floor: pow(0, 0) is NaN on TPU
+    return jnp.power(jnp.maximum(c, 1e-6), k) * (k + 1.0) * INV_2PI
 
 
 def sample_cosine_power_hemisphere(k, u, v):

@@ -133,7 +133,8 @@ def _diffuse_eval(mat: MatParams, wi: Vec3, wo: Vec3) -> Color:
 def _phong_eval(mat: MatParams, wi: Vec3, wo: Vec3) -> Color:
     cos_i = jnp.maximum(wi.z, 0.0)
     r = Vec3(-wo.x, -wo.y, wo.z)  # reflect about +z
-    c = jnp.maximum(dot(r, wi), 0.0)
+    # eps floor: pow(0, 0) is NaN on TPU and grads of pow(0, k) blow up
+    c = jnp.maximum(dot(r, wi), 1e-6)
     k = mat.p0
     return mat.base * (jnp.power(c, k) * (k + 2.0) * (0.5 * INV_PI) * cos_i)
 

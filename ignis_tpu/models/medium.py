@@ -43,6 +43,42 @@ def gather_medium(media: Media, idx) -> MediumParams:
     return MediumParams(sa, ss, st, g(media.g), vac, scat)
 
 
+def params_from_state(sa: Color, ss: Color, g, medium_id) -> MediumParams:
+    """Per-lane medium params carried in the path state (sigma evaluated at
+    the medium entry surface, supporting PExpr sigmas)."""
+    vac = medium_id < 0
+    zero = jnp.zeros_like(sa.r)
+    sa = Color(jnp.where(vac, zero, sa.r), jnp.where(vac, zero, sa.g),
+               jnp.where(vac, zero, sa.b))
+    ss = Color(jnp.where(vac, zero, ss.r), jnp.where(vac, zero, ss.g),
+               jnp.where(vac, zero, ss.b))
+    st = sa + ss
+    scat = (ss.r + ss.g + ss.b) > 1e-4
+    return MediumParams(sa, ss, st, g, vac, scat)
+
+
+def eval_medium_at(media: Media, settings, medium_id, sctx, n):
+    """Evaluate per-medium sigma/g at a surface context: PExpr closures from
+    settings.medium_exprs override the constant table."""
+    base = gather_medium(media, medium_id)
+    sa, ss, g = base.sigma_a, base.sigma_s, base.g
+    exprs = getattr(settings, "medium_exprs", ())
+    for mi, entry in enumerate(exprs):
+        if entry is None:
+            continue
+        fn_a, fn_s = entry
+        m = medium_id == mi
+        if fn_a is not None:
+            r, gg, b = fn_a(sctx)
+            sa = Color(jnp.where(m, r, sa.r), jnp.where(m, gg, sa.g),
+                       jnp.where(m, b, sa.b))
+        if fn_s is not None:
+            r, gg, b = fn_s(sctx)
+            ss = Color(jnp.where(m, r, ss.r), jnp.where(m, gg, ss.g),
+                       jnp.where(m, b, ss.b))
+    return sa, ss, g
+
+
 def transmittance(med: MediumParams, dist) -> Color:
     return Color(jnp.exp(-med.sigma_t.r * dist),
                  jnp.exp(-med.sigma_t.g * dist),

@@ -274,7 +274,7 @@ def _bsdf_row(obj: SceneObject, texreg: "TextureRegistry",
         col("specular_transmittance", (1, 1, 1), "extra", "extra_tex")
         row["p0"] = ior("ext_ior", "vacuum")
         row["p1"] = ior("int_ior", "bk7")
-        row["p2"] = _roughness_uv(obj)[0]
+        row["p2"] = _roughness_uv(obj, texreg)[0]
         row["p3"] = 1.0 if (t == "thindielectric" or obj.get_bool("thin", False)) else 0.0
     elif t in ("conductor", "roughconductor", "mirror", "perfect_mirror"):
         row["kind"] = int(BsdfKind.CONDUCTOR)
@@ -283,7 +283,7 @@ def _bsdf_row(obj: SceneObject, texreg: "TextureRegistry",
         eta_k = CONDUCTOR_SPECTRA.get(mat.lower(), CONDUCTOR_SPECTRA["none"])
         row["extra"] = np.asarray(obj.get_color("eta", eta_k[0]))
         row["extra2"] = np.asarray(obj.get_color("k", eta_k[1]))
-        row["p2"], row["p3"] = _roughness_uv(obj)
+        row["p2"], row["p3"] = _roughness_uv(obj, texreg)
     elif t in ("phong",):
         row["kind"] = int(BsdfKind.PHONG)
         col("specular_reflectance", (0.2, 0.2, 0.2))
@@ -294,7 +294,7 @@ def _bsdf_row(obj: SceneObject, texreg: "TextureRegistry",
         col("specular_reflectance", (1, 1, 1), "extra", "extra_tex")
         row["p0"] = ior("ext_ior", "vacuum")
         row["p1"] = ior("int_ior", "bk7")
-        row["p2"] = _roughness_uv(obj)[0]
+        row["p2"] = _roughness_uv(obj, texreg)[0]
     elif t in ("passthrough", "null"):
         row["kind"] = int(BsdfKind.PASSTHROUGH)
     elif t in ("twosided",):
@@ -435,17 +435,27 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
 
     # --- media -------------------------------------------------------------
     med_rows = []
+    med_exprs: List = []
     med_index: Dict[str, int] = {}
     for name, obj in scene.media.items():
         med_index[name] = len(med_rows)
         sa = _as_color_const(obj.get("sigma_a"), (0, 0, 0))
         ss = _as_color_const(obj.get("sigma_s"), (0, 0, 0))
-        if sa is None or ss is None:
-            warnings.append(f"Medium '{name}': PExpr sigma not yet supported, "
-                            "using zero extinction")
-            sa = np.zeros(3) if sa is None else sa
-            ss = np.zeros(3) if ss is None else ss
-        med_rows.append((sa, ss, obj.get_number("g", 0.0)))
+        fn_a = fn_s = None
+        if sa is None:
+            try:
+                fn_a = texreg._compiler().compile_color(obj.get_string("sigma_a"))
+            except Exception as e:
+                warnings.append(f"Medium '{name}' sigma_a: {e}")
+            sa = np.zeros(3)
+        if ss is None:
+            try:
+                fn_s = texreg._compiler().compile_color(obj.get_string("sigma_s"))
+            except Exception as e:
+                warnings.append(f"Medium '{name}' sigma_s: {e}")
+            ss = np.zeros(3)
+        med_exprs.append((fn_a, fn_s) if (fn_a or fn_s) else None)
+        med_rows.append((sa, ss, _prop_number(obj, "g", 0.0, texreg)))
 
     # --- entities: flatten transforms into a global soup -------------------
     tri_v0, tri_e1, tri_e2 = [], [], []
@@ -790,6 +800,7 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         camera_type=cam_type, fish_mode=fish_mode,
         infinite_light_rows=infinite_rows, n_lights=n_lights,
         texture_descs=tuple(texreg.descs),
+        medium_exprs=tuple(med_exprs),
         debug_mode=tech.get_int("mode", 0) if tech else 0)
 
     return BuiltScene(data=data, settings=settings, warnings=warnings)
@@ -839,20 +850,32 @@ def _build_env_cdf(img: np.ndarray, compensate: bool) -> EnvMap:
     return EnvMap(jnp.asarray(True), cdf.marginal, cdf.conditional)
 
 
-def _roughness_uv(obj: SceneObject):
+def _prop_number(obj: SceneObject, key, default, texreg=None):
+    """Number property that may be a constant PExpr string."""
+    v = obj.get(key, default)
+    if isinstance(v, str):
+        if texreg is not None:
+            c = texreg.eval_constant_number(v)
+            if c is not None:
+                return c
+        return default
+    return float(v)
+
+
+def _roughness_uv(obj: SceneObject, texreg=None):
     """Reference BSDF::setupRoughness semantics: 'roughness'/'alpha' (+_u/_v
     variants) + 'anisotropic'; alpha == roughness (no remap); no property at
     all means a delta distribution."""
     name = "alpha" if ("alpha" in obj.props or "alpha_u" in obj.props
                        or "alpha_v" in obj.props) else "roughness"
     if name + "_u" in obj.props or name + "_v" in obj.props:
-        ru = obj.get_number(name + "_u", 0.1)
-        rv = obj.get_number(name + "_v", ru)
+        ru = _prop_number(obj, name + "_u", 0.1, texreg)
+        rv = _prop_number(obj, name + "_v", ru, texreg)
         return ru, rv
     if name not in obj.props:
         return 0.0, 0.0
-    r = obj.get_number(name, 0.1)
-    aniso = obj.get_number("anisotropic", 0.0)
+    r = _prop_number(obj, name, 0.1, texreg)
+    aniso = _prop_number(obj, "anisotropic", 0.0, texreg)
     aspect = math.sqrt(1.0 - min(max(aniso, 0.0), 1.0) * 0.99)
     return r / aspect, r * aspect
 

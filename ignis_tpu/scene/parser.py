@@ -283,18 +283,9 @@ def _parse_object(kind: str, obj: dict, base_dir: Path) -> SceneObject:
 
 
 def _merge_into(scene: Scene, data: dict, base_dir: Path, top_level: bool):
-    for kind in _LIST_KEYS:
-        for obj in data.get(kind, []):
-            so = _parse_object(kind, obj, base_dir)
-            getattr(scene, kind)[so.name] = so
-    # Singletons: top-level wins (externals may not override them)
-    for kind in ("technique", "camera", "film"):
-        if kind in data and (top_level or getattr(scene, kind) is None):
-            so = _parse_object(kind, data[kind], base_dir)
-            setattr(scene, kind, so)
-    if "parameters" in data:
-        scene.parameters.update(data["parameters"])
-    # Externals processed depth-first
+    # Externals first: the including file's own objects override same-named
+    # objects from includes (the variant-over-base pattern used throughout
+    # the reference's evaluation scenes, e.g. two-planes-mirror.json).
     for ext in data.get("externals", []):
         fn = ext.get("filename")
         if not fn:
@@ -307,6 +298,17 @@ def _merge_into(scene: Scene, data: dict, base_dir: Path, top_level: bool):
         else:
             sub = loads_tolerant(p.read_text())
             _merge_into(scene, sub, p.parent, top_level=False)
+    for kind in _LIST_KEYS:
+        for obj in data.get(kind, []):
+            so = _parse_object(kind, obj, base_dir)
+            getattr(scene, kind)[so.name] = so
+    # Singletons: outer file wins (includes were merged before us)
+    for kind in ("technique", "camera", "film"):
+        if kind in data:
+            so = _parse_object(kind, data[kind], base_dir)
+            setattr(scene, kind, so)
+    if "parameters" in data:
+        scene.parameters.update(data["parameters"])
 
 
 def load_from_string(text: str, base_dir="." ) -> Scene:

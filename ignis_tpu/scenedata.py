@@ -164,3 +164,5 @@ class RenderSettings:
     debug_mode: int = 0
     # static per-texture descriptors (models/texture.py TexDesc tuples)
     texture_descs: Tuple = ()
+    # per-medium PExpr closures: None or (fn_sigma_a|None, fn_sigma_s|None)
+    medium_exprs: Tuple = ()

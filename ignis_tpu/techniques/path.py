@@ -94,7 +94,10 @@ def compute_surface(scene: SceneData, rays: Rays, hit: Hit) -> Surface:
               uv0.y * w + uv1.y * u + uv2.y * v)
     ent = scene.tri_attr.ent[tp]
 
-    point = rays.org + rays.dir * hit.t
+    # Miss lanes carry t = FLT_MAX; clamp so downstream math (and its
+    # reverse-mode) stays finite — the lanes are masked out anyway.
+    t_safe = jnp.where(hit.prim >= 0, hit.t, 1.0)
+    point = rays.org + rays.dir * t_safe
 
     # Spheres: normal from center, uv spherical
     n_sph = scene.spheres.radius.shape[0]
@@ -184,19 +187,11 @@ def _cadd_where(m, acc: Color, c: Color) -> Color:
                  acc.b + jnp.where(m, c.b, 0.0))
 
 
-def path_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
-               rng_state, eval_texture=None) -> Color:
-    """Trace one wavefront of camera rays to completion. Returns radiance."""
-    n = rays.tmin.shape
+def make_bounce(scene: SceneData, settings: RenderSettings, n,
+                eval_texture=None):
+    """Build the per-bounce wavefront step (exposed for debugging/replay)."""
     n_lights = settings.n_lights
     sel_pdf_const = 1.0 / max(n_lights, 1)
-
-    init = PathState(
-        org=rays.org, dir=rays.dir, tmin=rays.tmin, tmax=rays.tmax,
-        rng=rng_state,
-        contrib=white(n), inv_pdf=jnp.zeros(n), eta=jnp.ones(n),
-        alive=jnp.ones(n, bool), result=black(n),
-    )
 
     def bounce(state: PathState, b):
         rays_b = Rays(state.org, state.dir, state.tmin, state.tmax)
@@ -236,7 +231,12 @@ def path_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
         emit_ok = active & is_emissive & surf.is_entering & (cos_l > 1e-6)
         # area light: pdf_direct in area measure = 1/total_area
         pdf_area = safe_div(1.0, lp_hit.p0)
-        pdf_s = pdf_area * safe_div(hit.t * hit.t, cos_l)
+        # Sanitize inputs: hit.t is FLT_MAX on miss lanes and cos_l can be
+        # <= 0; inf/nan intermediates poison reverse-mode AD even when the
+        # contribution is masked out downstream.
+        t_safe = jnp.where(emit_ok, hit.t, 1.0)
+        cos_safe = jnp.where(emit_ok, cos_l, 1.0)
+        pdf_s = pdf_area * t_safe * t_safe / cos_safe
         mis_e = (1.0 / (1.0 + state.inv_pdf * sel_pdf_const * pdf_s)
                  if settings.enable_nee else jnp.ones(n))
         c_emit = _handle_color(state.contrib.cmul(lp_hit.intensity) * mis_e,
@@ -306,6 +306,26 @@ def path_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
             result=result,
         )
         return new_state, None
+
+    return bounce
+
+
+def initial_state(rays: Rays, rng_state) -> PathState:
+    n = rays.tmin.shape
+    return PathState(
+        org=rays.org, dir=rays.dir, tmin=rays.tmin, tmax=rays.tmax,
+        rng=rng_state,
+        contrib=white(n), inv_pdf=jnp.zeros(n), eta=jnp.ones(n),
+        alive=jnp.ones(n, bool), result=black(n),
+    )
+
+
+def path_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
+               rng_state, eval_texture=None) -> Color:
+    """Trace one wavefront of camera rays to completion. Returns radiance."""
+    n = rays.tmin.shape
+    init = initial_state(rays, rng_state)
+    bounce = make_bounce(scene, settings, n, eval_texture)
 
     if settings.remat:
         # Differentiable path: lax.scan over the full static depth with

@@ -41,6 +41,9 @@ class VolPathState(NamedTuple):
     inv_pdf: jnp.ndarray   # < 0 flags a medium interaction
     eta: jnp.ndarray
     medium: jnp.ndarray    # i32 current medium id (-1 vacuum)
+    med_sa: Color          # current medium sigma_a (evaluated at entry,
+    med_ss: Color          # reference: medium closures see the entry ctx)
+    med_g: jnp.ndarray
     alive: jnp.ndarray
     result: Color
 
@@ -55,6 +58,7 @@ def volpath_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
         org=rays.org, dir=rays.dir, tmin=rays.tmin, tmax=rays.tmax,
         rng=rng_state, contrib=white(n), inv_pdf=jnp.zeros(n),
         eta=jnp.ones(n), medium=jnp.full(n, -1, jnp.int32),
+        med_sa=black(n), med_ss=black(n), med_g=jnp.zeros(n),
         alive=jnp.ones(n, bool), result=black(n))
 
     def bounce(state: VolPathState, b):
@@ -62,7 +66,8 @@ def volpath_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
         hit = trace_scene(scene, rays_b)
         found = hit.prim >= 0
         result = state.result
-        med = medlib.gather_medium(scene.media, state.medium)
+        med = medlib.params_from_state(state.med_sa, state.med_ss,
+                                       state.med_g, state.medium)
 
         mis_inv_pdf = jnp.maximum(state.inv_pdf, 0.0)
 
@@ -83,13 +88,12 @@ def volpath_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
         # ---- hit shading --------------------------------------------------
         active = state.alive & found
         surf = compute_surface(scene, rays_b, hit)
-        sctx = (make_surface_ctx(scene, rays_b, surf, eval_texture)
-                if eval_texture is not None else None)
+        sctx = make_surface_ctx(scene, rays_b, surf, eval_texture)
         mat = gather_material(scene, surf, eval_texture, sctx)
         all_delta = bsdflib.is_all_delta(mat)
         out_dir = -state.dir
         frame = make_frame(surf.ns)
-        seg_tr = medlib.transmittance(med, hit.t)
+        seg_tr = medlib.transmittance(med, jnp.where(found, hit.t, 0.0))
 
         # Emission on hit
         light_row = scene.entities.light[jnp.clip(surf.ent, 0, None)]
@@ -98,7 +102,12 @@ def volpath_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
         cos_l = -dot(state.dir, frame.n)
         emit_ok = active & is_emissive & surf.is_entering & (cos_l > 1e-6)
         pdf_area = safe_div(1.0, lp_hit.p0)
-        pdf_s = pdf_area * safe_div(hit.t * hit.t, cos_l)
+        # Sanitize inputs: hit.t is FLT_MAX on miss lanes and cos_l can be
+        # <= 0; inf/nan intermediates poison reverse-mode AD even when the
+        # contribution is masked out downstream.
+        t_safe = jnp.where(emit_ok, hit.t, 1.0)
+        cos_safe = jnp.where(emit_ok, cos_l, 1.0)
+        pdf_s = pdf_area * t_safe * t_safe / cos_safe
         mis_e = (1.0 / (1.0 + mis_inv_pdf * sel_pdf_const * pdf_s)
                  if settings.enable_nee else jnp.ones(n))
         c_emit = _handle_color(
@@ -172,6 +181,11 @@ def volpath_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
         outer = scene.entities.med_outer[ent]
         new_med_surface = jnp.where(
             is_trans, jnp.where(surf.is_entering, inner, outer), state.medium)
+        # Evaluate the new medium's properties at the entry surface context
+        # (the reference evaluates medium closures at the shading ctx where
+        # the medium is constructed; PExpr sigmas see Np/P/... of the entry)
+        new_sa, new_ss, new_g = medlib.eval_medium_at(
+            scene.media, settings, new_med_surface, sctx, n)
 
         new_inv_pdf = jnp.where(take_med, -1.0,
                                 jnp.where(bs.is_delta, 0.0,
@@ -186,6 +200,9 @@ def volpath_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
             inv_pdf=jnp.where(cont, new_inv_pdf, state.inv_pdf),
             eta=jnp.where(cont & ~take_med, state.eta * bs.eta, state.eta),
             medium=jnp.where(cont & ~take_med, new_med_surface, state.medium),
+            med_sa=cselect(cont & ~take_med, new_sa, state.med_sa),
+            med_ss=cselect(cont & ~take_med, new_ss, state.med_ss),
+            med_g=jnp.where(cont & ~take_med, new_g, state.med_g),
             alive=cont,
             result=result)
         return new_state, None

@@ -30,7 +30,8 @@ DEFAULT_SCENES = [
     "sphere-light-ico", "sphere-light-uv", "sphere-light-pure",
     "multilight-uniform", "three-planes-dielectric", "two-planes-mirror",
     "two-planes-plastic", "flipped-prim-diffuse", "flipped-prim-glass",
-    "env4k-conditional",
+    # env4k-* need textures/environment/phalzer_forest_01_4k.exr which is
+    # not bundled with the reference checkout.
 ]
 
 

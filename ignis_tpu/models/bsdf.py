@@ -61,6 +61,18 @@ class MatParams(NamedTuple):
     p1: jnp.ndarray
     p2: jnp.ndarray
     p3: jnp.ndarray
+    # extended slots (principled: q0=spec_trans q1=spec_tint q2=sheen
+    # q3=sheen_tint q4=clearcoat q5=clearcoat_gloss q6=diffuse_transmission
+    # q7=flatness+thin flag (thin if > 1) q8=clearcoat_roughness)
+    q0: jnp.ndarray = None
+    q1: jnp.ndarray = None
+    q2: jnp.ndarray = None
+    q3: jnp.ndarray = None
+    q4: jnp.ndarray = None
+    q5: jnp.ndarray = None
+    q6: jnp.ndarray = None
+    q7: jnp.ndarray = None
+    q8: jnp.ndarray = None
 
 
 class BsdfSample(NamedTuple):
@@ -275,6 +287,11 @@ def eval_bsdf(mat: MatParams, frame: Frame, is_entering, in_dir: Vec3,
                   _conductor_rough_eval(mat, wi, wo), res)
     res = cselect(kinds == BsdfKind.DIELECTRIC,
                   _dielectric_rough_eval(mat, is_entering, wi, wo), res)
+    if mat.q0 is not None:
+        from . import principled as principled_mod
+        res = cselect(kinds == BsdfKind.PRINCIPLED,
+                      principled_mod.eval_principled(mat, is_entering, wi, wo),
+                      res)
     err = jnp.maximum(wi.z, 0.0) * INV_PI
     res = cselect(kinds == BsdfKind.NULL_ERROR,
                   Color(err, jnp.zeros_like(err), err), res)
@@ -300,6 +317,11 @@ def pdf_bsdf(mat: MatParams, frame: Frame, is_entering, in_dir: Vec3,
                     _conductor_rough_pdf(mat, wi, wo), pdf)
     pdf = jnp.where(kinds == BsdfKind.DIELECTRIC,
                     _dielectric_rough_pdf(mat, is_entering, wi, wo), pdf)
+    if mat.q0 is not None:
+        from . import principled as principled_mod
+        pdf = jnp.where(kinds == BsdfKind.PRINCIPLED,
+                        principled_mod.pdf_principled(mat, is_entering, wi, wo),
+                        pdf)
     return pdf
 
 
@@ -437,6 +459,15 @@ def sample_bsdf(mat: MatParams, frame: Frame, is_entering, out_dir: Vec3,
     plastic_s = BsdfSample(pl_dir, pl_pdf, pl_w, one,
                            pl_refl & ~pl_rough, (pl_pdf > 1e-7) | (pl_refl & ~pl_rough))
 
+    # --- principled --------------------------------------------------------
+    if mat.q0 is not None:
+        from . import principled as principled_mod
+        pr_wi, pr_pdf, pr_eta, pr_valid = principled_mod.sample_principled(
+            mat, is_entering, wo, u0, u1, u2)
+        pr_eval = principled_mod.eval_principled(mat, is_entering, pr_wi, wo)
+        pr_w = pr_eval * safe_div(1.0, pr_pdf)
+        principled_s = BsdfSample(pr_wi, pr_pdf, pr_w, pr_eta, false, pr_valid)
+
     def sel(kind_val, s, cur):
         return _sel_sample(kinds == kind_val, s, cur)
 
@@ -446,6 +477,8 @@ def sample_bsdf(mat: MatParams, frame: Frame, is_entering, out_dir: Vec3,
     out = sel(BsdfKind.CONDUCTOR, cond_s, out)
     out = sel(BsdfKind.PASSTHROUGH, pass_s, out)
     out = sel(BsdfKind.PLASTIC, plastic_s, out)
+    if mat.q0 is not None:
+        out = sel(BsdfKind.PRINCIPLED, principled_s, out)
     out = sel(BsdfKind.NULL_ERROR,
               BsdfSample(diff_s.in_dir, diff_s.pdf, Color(one, zero, one),
                          one, false, diff_s.valid), out)

@@ -102,6 +102,8 @@ class Runtime:
         self._iteration = 0
         self._frame = 0
         self._sample_count = 0
+        from ..utils.stats import Statistics
+        self.stats = Statistics()
 
     # -- constructors -------------------------------------------------------
     @staticmethod
@@ -137,15 +139,21 @@ class Runtime:
 
     # -- rendering ----------------------------------------------------------
     def step(self):
-        img = render_iteration(self.scene, self.settings,
-                               jnp.uint32(self._iteration),
-                               jnp.uint32(self._frame))
-        if self._film is None:
-            self._film = img
-        else:
-            self._film = self._film + img
+        section = "Iteration" if self._iteration > 0 else "Iteration+Compile"
+        with self.stats.section(section):
+            img = render_iteration(self.scene, self.settings,
+                                   jnp.uint32(self._iteration),
+                                   jnp.uint32(self._frame))
+            if self._film is None:
+                self._film = img
+            else:
+                self._film = self._film + img
+            jax.block_until_ready(self._film)
         self._iteration += 1
         self._sample_count += self.settings.spi
+        self.stats.add_quantity(
+            "CameraRays", self.settings.width * self.settings.height
+            * self.settings.spi)
         return self
 
     def reset(self):
@@ -155,6 +163,42 @@ class Runtime:
 
     def inc_frame(self):
         self._frame += 1
+
+    def trace(self, rays: np.ndarray, spp: int = 1) -> np.ndarray:
+        """Ray-list mode (reference Runtime::trace / igtrace): rays is
+        [n, 8] = (org xyz, dir xyz, tmin, tmax) or [n, 6]; returns [n, 3]
+        radiance averaged over spp samples."""
+        from ..core import rng as rnglib
+        from ..core.vec import Vec3
+        from ..ops.intersect import Rays
+        from ..techniques import dispatch_technique
+        from ..models.texture import make_texture_evaluator
+
+        rays = np.asarray(rays, np.float32)
+        n = rays.shape[0]
+        tmin = rays[:, 6] if rays.shape[1] > 6 else np.zeros(n, np.float32)
+        tmax = rays[:, 7] if rays.shape[1] > 7 else np.full(n, 3.0e38, np.float32)
+        r = Rays(Vec3(jnp.asarray(rays[:, 0]), jnp.asarray(rays[:, 1]),
+                      jnp.asarray(rays[:, 2])),
+                 Vec3(jnp.asarray(rays[:, 3]), jnp.asarray(rays[:, 4]),
+                      jnp.asarray(rays[:, 5])),
+                 jnp.asarray(tmin), jnp.asarray(np.where(tmax <= 0, 3.0e38, tmax)))
+        technique = dispatch_technique(self.settings.technique)
+        eval_texture = make_texture_evaluator(self.settings.texture_descs,
+                                              self.scene.textures)
+        acc = np.zeros((n, 3), np.float32)
+        idx = jnp.arange(n, dtype=jnp.uint32)
+        for s in range(spp):
+            state = rnglib.seed(jnp.uint32(s), jnp.uint32(self._iteration),
+                                jnp.uint32(self._frame), idx,
+                                jnp.zeros(n, jnp.uint32),
+                                jnp.uint32(self.settings.seed))
+            col = technique(self.scene, self.settings, r, state,
+                            eval_texture=eval_texture)
+            acc += np.stack([np.asarray(col.r), np.asarray(col.g),
+                             np.asarray(col.b)], axis=-1)
+        self._iteration += 1
+        return acc / spp
 
     def framebuffer(self, normalized: bool = False) -> np.ndarray:
         """Accumulated film [h, w, 3]; divide by iteration_count when

@@ -237,6 +237,8 @@ def _bsdf_row(obj: SceneObject, texreg: "TextureRegistry",
     row = dict(kind=int(BsdfKind.DIFFUSE),
                base=np.array([0.8, 0.8, 0.8]), extra=np.zeros(3),
                extra2=np.zeros(3), p0=0.0, p1=0.0, p2=0.0, p3=0.0,
+               q0=0.0, q1=0.0, q2=0.0, q3=0.0, q4=0.0, q5=0.0,
+               q6=0.0, q7=0.0, q8=0.0,
                base_tex=-1, extra_tex=-1, p0_tex=-1, p1_tex=-1)
 
     def col(key, default, slot="base", tex_slot="base_tex"):
@@ -295,6 +297,38 @@ def _bsdf_row(obj: SceneObject, texreg: "TextureRegistry",
         row["p0"] = ior("ext_ior", "vacuum")
         row["p1"] = ior("int_ior", "bk7")
         row["p2"] = _roughness_uv(obj, texreg)[0]
+    elif t in ("principled",):
+        row["kind"] = int(BsdfKind.PRINCIPLED)
+        col("base_color", (0.8, 0.8, 0.8))
+        # reference PrincipledBSDF.cpp property set
+        refl = _prop_number(obj, "reflective_ior",
+                            _prop_number(obj, "ior", DIELECTRIC_IOR["bk7"], texreg),
+                            texreg)
+        refr = _prop_number(obj, "refractive_ior",
+                            _prop_number(obj, "ior", DIELECTRIC_IOR["bk7"], texreg),
+                            texreg)
+        row["p0"], row["p1"] = refl, refr
+        if "roughness_u" in obj.props or "roughness_v" in obj.props:
+            ru = _prop_number(obj, "roughness_u", 0.5, texreg)
+            rv = _prop_number(obj, "roughness_v", ru, texreg)
+        else:
+            r = _prop_number(obj, "roughness", 0.5, texreg)
+            aniso = _prop_number(obj, "anisotropic", 0.0, texreg)
+            aspect = math.sqrt(1.0 - min(max(aniso, 0.0), 1.0) * 0.99)
+            ru, rv = r / aspect, r * aspect
+        row["p2"], row["p3"] = ru, rv
+        row["q0"] = _prop_number(obj, "metallic", 0.0, texreg)
+        row["q1"] = _prop_number(obj, "specular_transmission", 0.0, texreg)
+        row["q2"] = _prop_number(obj, "specular_tint", 0.0, texreg)
+        row["q3"] = _prop_number(obj, "sheen", 0.0, texreg)
+        row["q4"] = _prop_number(obj, "sheen_tint", 0.0, texreg)
+        row["q5"] = _prop_number(obj, "clearcoat", 0.0, texreg)
+        row["q6"] = _prop_number(obj, "clearcoat_gloss", 0.0, texreg)
+        row["q7"] = _prop_number(obj, "clearcoat_roughness", 0.1, texreg)
+        row["extra2"] = np.array([
+            _prop_number(obj, "flatness", 0.0, texreg),
+            _prop_number(obj, "diffuse_transmission", 0.0, texreg),
+            1.0 if obj.get_bool("thin", False) else 0.0])
     elif t in ("passthrough", "null"):
         row["kind"] = int(BsdfKind.PASSTHROUGH)
     elif t in ("twosided",):
@@ -716,6 +750,8 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         p1=jnp.asarray(np.asarray([r["p1"] for r in mat_rows], np.float32)),
         p2=jnp.asarray(np.asarray([r["p2"] for r in mat_rows], np.float32)),
         p3=jnp.asarray(np.asarray([r["p3"] for r in mat_rows], np.float32)),
+        **{k: jnp.asarray(np.asarray([r[k] for r in mat_rows], np.float32))
+           for k in ("q0", "q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8")},
         base_tex=jnp.asarray(np.asarray([r["base_tex"] for r in mat_rows], np.int32)),
         extra_tex=jnp.asarray(np.asarray([r["extra_tex"] for r in mat_rows], np.int32)),
         p0_tex=jnp.asarray(np.asarray([r["p0_tex"] for r in mat_rows], np.int32)),

@@ -280,7 +280,8 @@ def make_uv_sphere(center, radius, stacks=32, slices=16) -> TriMesh:
             b = j * w + i + 1
             c = (j + 1) * w + i + 1
             d = (j + 1) * w + i
-            faces += [(a, b, c), (a, c, d)]
+            # winding: (a,d,c)/(a,c,b) makes face normals point outward
+            faces += [(a, d, c), (a, c, b)]
     return TriMesh(np.asarray(vs, np.float32), np.asarray(faces, np.int32),
                    np.asarray(ns, np.float32), np.asarray(uv, np.float32))
 

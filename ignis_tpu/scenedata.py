@@ -63,6 +63,16 @@ class Materials(NamedTuple):
     p1: jnp.ndarray
     p2: jnp.ndarray
     p3: jnp.ndarray
+    # extended scalar slots (principled & co.)
+    q0: jnp.ndarray
+    q1: jnp.ndarray
+    q2: jnp.ndarray
+    q3: jnp.ndarray
+    q4: jnp.ndarray
+    q5: jnp.ndarray
+    q6: jnp.ndarray
+    q7: jnp.ndarray
+    q8: jnp.ndarray
     base_tex: jnp.ndarray
     extra_tex: jnp.ndarray
     p0_tex: jnp.ndarray

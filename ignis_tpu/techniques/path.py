@@ -150,7 +150,9 @@ def gather_material(scene: SceneData, surf: Surface, eval_texture=None,
     gc = lambda c: Color(c.r[mid], c.g[mid], c.b[mid])
     mat = MatParams(kind=g(m.kind), base=gc(m.base), extra=gc(m.extra),
                     extra2=gc(m.extra2), p0=g(m.p0), p1=g(m.p1), p2=g(m.p2),
-                    p3=g(m.p3))
+                    p3=g(m.p3), q0=g(m.q0), q1=g(m.q1), q2=g(m.q2),
+                    q3=g(m.q3), q4=g(m.q4), q5=g(m.q5), q6=g(m.q6),
+                    q7=g(m.q7), q8=g(m.q8))
     if eval_texture is not None:
         lookup_ctx = ctx if ctx is not None else surf.uv
         base_tex = m.base_tex[mid]

@@ -23,6 +23,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 EVAL_DIR = Path("/root/reference/scenes/evaluation")
 REF_DIR = EVAL_DIR / "references"
 
+# Specular-transport scenes need far more samples before the relMSE is
+# variance-dominated-free (the bundled references are 4096 spp).
+SPP_OVERRIDE = {
+    "two-planes-mirror": 512,
+    "two-planes-plastic": 256,
+    "three-planes-dielectric": 512,
+    "three-planes-glass": 512,
+    "sphere-light-uv": 256,
+    "sphere-light-ico": 256,
+    "flipped-prim-diffuse": 256,
+    "flipped-prim-glass": 512,
+}
+
 # Scenes currently expected to pass (grow this list as features land).
 DEFAULT_SCENES = [
     "plane-d1", "plane-d6", "point", "env", "cbox-d1", "cbox-d6",
@@ -67,8 +80,9 @@ def evaluate_scene(name: str, spp: int, out_dir: Path | None):
         return name, None, None, "no-reference"
     ref = load_exr_rgb(ref_file)
 
+    spp = max(spp, SPP_OVERRIDE.get(name, 0))
     t0 = time.time()
-    rt = ignis_tpu.loadFromFile(scene_file)
+    rt = ignis_tpu.loadFromFile(scene_file, spi=4 if spp >= 64 else 1)
     for wmsg in rt.warnings:
         print(f"  [warn] {wmsg}")
     n = max(1, spp // max(rt.settings.spi, 1))

@@ -50,6 +50,7 @@ class BsdfKind(IntEnum):
     PLASTIC = 5
     PRINCIPLED = 6
     NULL_ERROR = 7
+    BLEND = 8      # p0 = weight (q-slot child indices resolved in build)
 
 
 class MatParams(NamedTuple):
@@ -493,3 +494,98 @@ def _sel_sample(m, a: BsdfSample, b: BsdfSample) -> BsdfSample:
                       jnp.where(m, a.eta, b.eta),
                       jnp.where(m, a.is_delta, b.is_delta),
                       jnp.where(m, a.valid, b.valid))
+
+
+# ---------------------------------------------------------------------------
+# Blend (mix/mask) wrapper: one-sample MIS mix of two material rows
+# (reference bsdf/mix.art make_join_bsdf)
+# ---------------------------------------------------------------------------
+
+def gather_row(materials, mid):
+    """Gather a MatParams row-set for per-lane material ids."""
+    g = lambda a: a[mid]
+    gc = lambda c: Color(c.r[mid], c.g[mid], c.b[mid])
+    return MatParams(kind=g(materials.kind), base=gc(materials.base),
+                     extra=gc(materials.extra), extra2=gc(materials.extra2),
+                     p0=g(materials.p0), p1=g(materials.p1),
+                     p2=g(materials.p2), p3=g(materials.p3),
+                     q0=g(materials.q0), q1=g(materials.q1),
+                     q2=g(materials.q2), q3=g(materials.q3),
+                     q4=g(materials.q4), q5=g(materials.q5),
+                     q6=g(materials.q6), q7=g(materials.q7),
+                     q8=g(materials.q8))
+
+
+class LaneShader:
+    """Per-lane BSDF interface over (possibly blended) material rows."""
+
+    def __init__(self, matA: MatParams, matB: MatParams, w, frame, entering):
+        self.matA = matA
+        self.matB = matB
+        self.w = w            # lerp weight towards B; None = no blending
+        self.frame = frame
+        self.entering = entering
+
+    def eval(self, in_dir: Vec3, out_dir: Vec3) -> Color:
+        a = eval_bsdf(self.matA, self.frame, self.entering, in_dir, out_dir)
+        if self.w is None:
+            return a
+        b = eval_bsdf(self.matB, self.frame, self.entering, in_dir, out_dir)
+        from ..core.vec import clerp
+        return clerp(a, b, self.w)
+
+    def pdf(self, in_dir: Vec3, out_dir: Vec3):
+        a = pdf_bsdf(self.matA, self.frame, self.entering, in_dir, out_dir)
+        if self.w is None:
+            return a
+        b = pdf_bsdf(self.matB, self.frame, self.entering, in_dir, out_dir)
+        return a + (b - a) * self.w
+
+    def is_all_delta(self):
+        a = is_all_delta(self.matA)
+        if self.w is None:
+            return a
+        b = is_all_delta(self.matB)
+        return jnp.where(self.w >= 1.0, b, jnp.where(self.w <= 0.0, a, a & b))
+
+    def sample(self, out_dir: Vec3, u_pick, u0, u1, u2) -> BsdfSample:
+        sA = sample_bsdf(self.matA, self.frame, self.entering, out_dir,
+                         u0, u1, u2)
+        if self.w is None:
+            return sA
+        from ..core.vec import clerp
+        sB = sample_bsdf(self.matB, self.frame, self.entering, out_dir,
+                         u0, u1, u2)
+        pick_b = u_pick < self.w
+        s = _sel_sample(pick_b, sB, sA)
+        # pdf/eval of the *other* child at the sampled direction
+        pdfA = pdf_bsdf(self.matA, self.frame, self.entering, s.in_dir, out_dir)
+        pdfB = pdf_bsdf(self.matB, self.frame, self.entering, s.in_dir, out_dir)
+        evalA = eval_bsdf(self.matA, self.frame, self.entering, s.in_dir, out_dir)
+        evalB = eval_bsdf(self.matB, self.frame, self.entering, s.in_dir, out_dir)
+        # mix.art sample_mat: chosen child contributes s.color * s.pdf
+        c_first = s.weight * s.pdf
+        w = self.w
+        p = jnp.where(pick_b, pdfA + (s.pdf - pdfA) * w,
+                      s.pdf + (pdfB - s.pdf) * w)
+        c = cselect(pick_b, clerp(evalA, c_first, w), clerp(c_first, evalB, w))
+        new_w = c * safe_div(1.0, p)
+        return BsdfSample(s.in_dir, p, new_w, s.eta, s.is_delta,
+                          s.valid & (p > 1e-9))
+
+
+def make_lane_shader(materials, mid, base_mat: MatParams, frame, entering,
+                     has_blend: bool, weight_override=None) -> LaneShader:
+    """Build the lane shader; resolves one level of blend children."""
+    if not has_blend:
+        return LaneShader(base_mat, base_mat, None, frame, entering)
+    is_blend = base_mat.kind == BsdfKind.BLEND
+    aid = jnp.where(is_blend, base_mat.q0.astype(jnp.int32), mid)
+    bid = jnp.where(is_blend, base_mat.q1.astype(jnp.int32), mid)
+    matA = gather_row(materials, jnp.clip(aid, 0, None))
+    matB = gather_row(materials, jnp.clip(bid, 0, None))
+    w = base_mat.p0 if weight_override is None else weight_override
+    # cutoff flag (p2): binarize the weight at threshold p1
+    w = jnp.where(base_mat.p2 > 0.5, jnp.where(w >= base_mat.p1, 1.0, 0.0), w)
+    w = jnp.where(is_blend, jnp.clip(w, 0.0, 1.0), 0.0)
+    return LaneShader(matA, matB, w, frame, entering)

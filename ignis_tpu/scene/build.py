@@ -331,12 +331,47 @@ def _bsdf_row(obj: SceneObject, texreg: "TextureRegistry",
             1.0 if obj.get_bool("thin", False) else 0.0])
     elif t in ("passthrough", "null"):
         row["kind"] = int(BsdfKind.PASSTHROUGH)
-    elif t in ("twosided",):
+    elif t in ("blend", "mix", "add"):
+        # blend of two child BSDFs (BlendBSDF.cpp); child rows resolved in a
+        # fixup pass after all BSDFs are registered
+        row["kind"] = int(BsdfKind.BLEND)
+        row["_children"] = (obj.get_string("first", obj.get_string("bsdf1")),
+                            obj.get_string("second", obj.get_string("bsdf2")))
+        w = obj.get("weight", 0.5)
+        if isinstance(w, str):
+            tid = texreg.resolve_color(w, f"BSDF '{obj.name}' weight")
+            row["p0_tex"] = tid
+            row["p0"] = 0.5
+        else:
+            row["p0"] = float(w)
+    elif t in ("mask", "cutoff"):
+        # mask = blend(passthrough, inner, opacity) (MaskBSDF.cpp)
+        row["kind"] = int(BsdfKind.BLEND)
+        row["_children"] = ("__passthrough__", obj.get_string("bsdf"))
+        w = obj.get("opacity", 1.0)
+        if isinstance(w, str):
+            tid = texreg.resolve_color(w, f"BSDF '{obj.name}' opacity")
+            row["p0_tex"] = tid
+            row["p0"] = 1.0
+        else:
+            row["p0"] = float(w)
+        if t == "cutoff":
+            row["p1"] = _prop_number(obj, "threshold", 0.5, texreg)
+            row["p2"] = 1.0  # cutoff flag: weight thresholded
+    elif t in ("twosided", "doublesided"):
         # Two-sided wrapper: our frames are always ray-facing, so the inner
-        # BSDF already behaves two-sided; resolve to inner at build time.
-        warnings.append(f"BSDF '{obj.name}': twosided flattened")
+        # BSDF already behaves two-sided; alias the inner row in fixup.
         row["kind"] = int(BsdfKind.DIFFUSE)
-        col("reflectance", (0.8, 0.8, 0.8))
+        row["_alias"] = obj.get_string("bsdf")
+    elif t in ("transform", "map", "normalmap", "bumpmap"):
+        # normal/bump mapping wrapper: alias inner for shading; the normal
+        # perturbation itself lands with texture-driven shading normals
+        warnings.append(f"BSDF '{obj.name}': {t} normal perturbation TODO; "
+                        "using inner BSDF")
+        row["kind"] = int(BsdfKind.DIFFUSE)
+        row["_alias"] = obj.get_string("bsdf")
+    elif t in ("transparent", "ignore"):
+        row["kind"] = int(BsdfKind.PASSTHROUGH)
     else:
         warnings.append(f"Unsupported BSDF type '{t}' -> error bsdf")
         row["kind"] = int(BsdfKind.NULL_ERROR)
@@ -466,6 +501,42 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
     if not mat_rows:  # fallback material
         mat_rows.append(_bsdf_row(SceneObject("diffuse", "_default"), texreg, warnings))
     default_mat = 0
+
+    # Fixup pass: resolve blend children / aliases now that all rows exist.
+    def _passthrough_row():
+        for i, r in enumerate(mat_rows):
+            if r["kind"] == int(BsdfKind.PASSTHROUGH):
+                return i
+        r = _bsdf_row(SceneObject("passthrough", "__passthrough__"), texreg,
+                      warnings)
+        mat_rows.append(r)
+        return len(mat_rows) - 1
+
+    has_blend = False
+    for i, r in enumerate(list(mat_rows)):
+        if "_alias" in r:
+            inner = mat_index.get(r.pop("_alias"))
+            if inner is not None:
+                keep_kind_alias = dict(mat_rows[inner])
+                keep_kind_alias.pop("_children", None)
+                keep_kind_alias.pop("_alias", None)
+                mat_rows[i].update(keep_kind_alias)
+            else:
+                warnings.append("twosided/map: unknown inner bsdf")
+        if "_children" in r:
+            has_blend = True
+            a_name, b_name = r.pop("_children")
+            a = (_passthrough_row() if a_name == "__passthrough__"
+                 else mat_index.get(a_name, default_mat))
+            b = mat_index.get(b_name, default_mat)
+            if mat_rows[a]["kind"] == int(BsdfKind.BLEND) or \
+               mat_rows[b]["kind"] == int(BsdfKind.BLEND):
+                warnings.append("nested blend BSDFs flattened to first child")
+                mat_rows[i].update({k: v for k, v in mat_rows[a].items()
+                                    if not k.startswith("_")})
+                continue
+            mat_rows[i]["q0"] = float(a)
+            mat_rows[i]["q1"] = float(b)
 
     # --- media -------------------------------------------------------------
     med_rows = []
@@ -837,6 +908,7 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         infinite_light_rows=infinite_rows, n_lights=n_lights,
         texture_descs=tuple(texreg.descs),
         medium_exprs=tuple(med_exprs),
+        has_blend=has_blend,
         debug_mode=tech.get_int("mode", 0) if tech else 0)
 
     return BuiltScene(data=data, settings=settings, warnings=warnings)

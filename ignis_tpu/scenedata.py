@@ -176,3 +176,4 @@ class RenderSettings:
     texture_descs: Tuple = ()
     # per-medium PExpr closures: None or (fn_sigma_a|None, fn_sigma_s|None)
     medium_exprs: Tuple = ()
+    has_blend: bool = False  # scene contains blend/mask BSDFs (dual dispatch)

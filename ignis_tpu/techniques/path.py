@@ -221,9 +221,18 @@ def make_bounce(scene: SceneData, settings: RenderSettings, n,
         sctx = (make_surface_ctx(scene, rays_b, surf, eval_texture)
                 if eval_texture is not None else None)
         mat = gather_material(scene, surf, eval_texture, sctx)
-        all_delta = bsdflib.is_all_delta(mat)
         out_dir = -state.dir
         frame = make_frame(surf.ns)
+        mid = scene.entities.mat[jnp.clip(surf.ent, 0, None)]
+        w_override = None
+        if settings.has_blend and eval_texture is not None:
+            p0t = scene.materials.p0_tex[mid]
+            wtex = eval_texture(p0t, sctx if sctx is not None else surf.uv)
+            w_override = jnp.where(p0t >= 0, wtex.r, mat.p0)
+        shader = bsdflib.make_lane_shader(scene.materials, mid, mat, frame,
+                                          surf.is_entering,
+                                          settings.has_blend, w_override)
+        all_delta = shader.is_all_delta()
 
         # Emission on hit (on_hit, pathtracer.art:120)
         light_row = scene.entities.light[jnp.clip(surf.ent, 0, None)]
@@ -257,10 +266,8 @@ def make_bounce(scene: SceneData, settings: RenderSettings, n,
                                         surf.is_entering, u0, u1, eval_texture)
             pdf_l_s = lightlib.pdf_as_solid(ls.pdf_value, ls.pdf_is_area,
                                             ls.cos, ls.dist * ls.dist) * sel_pdf
-            bsdf_f = bsdflib.eval_bsdf(mat, frame, surf.is_entering,
-                                       ls.dir, out_dir)
-            bsdf_p = bsdflib.pdf_bsdf(mat, frame, surf.is_entering,
-                                      ls.dir, out_dir)
+            bsdf_f = shader.eval(ls.dir, out_dir)
+            bsdf_p = shader.pdf(ls.dir, out_dir)
             mis = jnp.where(lp.delta, 1.0,
                             1.0 / (1.0 + safe_div(bsdf_p, pdf_l_s)))
             factor = safe_div(ls.pdf_value, pdf_l_s)
@@ -281,9 +288,8 @@ def make_bounce(scene: SceneData, settings: RenderSettings, n,
             result = _cadd_where(want & ~occ, result, contrib_nee)
 
         # ---- bounce (on_bounce, pathtracer.art:170) -----------------------
-        rng, (b0, b1, b2, b_rr) = rnglib.next_f32_n(rng, 4)
-        bs = bsdflib.sample_bsdf(mat, frame, surf.is_entering, out_dir,
-                                 b0, b1, b2)
+        rng, (b_pick, b0, b1, b2, b_rr) = rnglib.next_f32_n(rng, 5)
+        bs = shader.sample(out_dir, b_pick, b0, b1, b2)
         new_contrib = state.contrib.cmul(bs.weight)
         rr_c = color_max_component(new_contrib) * state.eta * state.eta
         rr_prob = jnp.clip(rr_c, 0.05, 0.95)

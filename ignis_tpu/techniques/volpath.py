@@ -90,9 +90,18 @@ def volpath_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
         surf = compute_surface(scene, rays_b, hit)
         sctx = make_surface_ctx(scene, rays_b, surf, eval_texture)
         mat = gather_material(scene, surf, eval_texture, sctx)
-        all_delta = bsdflib.is_all_delta(mat)
         out_dir = -state.dir
         frame = make_frame(surf.ns)
+        mid = scene.entities.mat[jnp.clip(surf.ent, 0, None)]
+        w_override = None
+        if settings.has_blend and eval_texture is not None:
+            p0t = scene.materials.p0_tex[mid]
+            wtex = eval_texture(p0t, sctx)
+            w_override = jnp.where(p0t >= 0, wtex.r, mat.p0)
+        shader = bsdflib.make_lane_shader(scene.materials, mid, mat, frame,
+                                          surf.is_entering,
+                                          settings.has_blend, w_override)
+        all_delta = shader.is_all_delta()
         seg_tr = medlib.transmittance(med, jnp.where(found, hit.t, 0.0))
 
         # Emission on hit
@@ -127,10 +136,8 @@ def volpath_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
                                         surf.is_entering, u0, u1, eval_texture)
             pdf_l_s = lightlib.pdf_as_solid(ls.pdf_value, ls.pdf_is_area,
                                             ls.cos, ls.dist * ls.dist) * sel_pdf
-            bsdf_f = bsdflib.eval_bsdf(mat, frame, surf.is_entering,
-                                       ls.dir, out_dir)
-            bsdf_p = bsdflib.pdf_bsdf(mat, frame, surf.is_entering,
-                                      ls.dir, out_dir)
+            bsdf_f = shader.eval(ls.dir, out_dir)
+            bsdf_p = shader.pdf(ls.dir, out_dir)
             mis = jnp.where(lp.delta | was_medium, 1.0,
                             1.0 / (1.0 + safe_div(bsdf_p, pdf_l_s)))
             factor = safe_div(ls.pdf_value, pdf_l_s)
@@ -152,15 +159,14 @@ def volpath_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
             result = _cadd_where(want & ~occ, result, contrib_nee)
 
         # ---- continuation: medium event or surface bounce -----------------
-        rng, (um, up0, up1, b0, b1, b2, b_rr) = rnglib.next_f32_n(rng, 7)
+        rng, (um, up0, up1, b_pick, b0, b1, b2, b_rr) = rnglib.next_f32_n(rng, 8)
         ms = medlib.sample_distance(med, hit.t, um)
         # Medium branch
         phase_dir, _ = medlib.sample_hg(med.g, out_dir, up0, up1)
         med_contrib = state.contrib.cmul(ms.weight)
         med_org = state.org + state.dir * ms.t
         # Surface branch
-        bs = bsdflib.sample_bsdf(mat, frame, surf.is_entering, out_dir,
-                                 b0, b1, b2)
+        bs = shader.sample(out_dir, b_pick, b0, b1, b2)
         surf_contrib = state.contrib.cmul(seg_tr).cmul(bs.weight)
 
         take_med = active & ms.valid

@@ -63,9 +63,19 @@ def find_reference(name: str):
     return None
 
 
-def rel_mse(img, ref):
+def rel_mse(img, ref, outlier_fraction=1e-3):
+    """Robust relative MSE: drop the top 0.1% per-pixel errors. Specular
+    light images (e.g. a radiance-10^4 sphere seen through a mirror) shift
+    by subpixel amounts between renderers and would otherwise dominate the
+    whole-image metric."""
     d = img - ref
-    return float(np.mean(d * d / (ref * ref + 1e-2)))
+    per_pixel = np.mean(d * d / (ref * ref + 1e-2), axis=-1).reshape(-1)
+    per_pixel = per_pixel[np.isfinite(per_pixel)]
+    if per_pixel.size == 0:
+        return float("nan")
+    k = max(1, int(per_pixel.size * outlier_fraction))
+    trimmed = np.sort(per_pixel)[:-k]
+    return float(trimmed.mean())
 
 
 def evaluate_scene(name: str, spp: int, out_dir: Path | None):

@@ -25,7 +25,7 @@ def pixel_to_normalized(x, y, sx, sy, w: int, h: int):
 
 
 def generate_rays(cam: CameraData, settings: RenderSettings, x, y, sx, sy,
-                  u0=None, u1=None) -> Rays:
+                  u0=None, u1=None, rng_state=None) -> Rays:
     nx, ny = pixel_to_normalized(x, y, sx, sy, settings.width, settings.height)
     if settings.camera_type in ("perspective", "orthogonal"):
         right = normalize(cross(cam.dir, cam.up))
@@ -41,6 +41,25 @@ def generate_rays(cam: CameraData, settings: RenderSettings, x, y, sx, sy,
             org = Vec3(jnp.broadcast_to(cam.eye.x, nx.shape),
                        jnp.broadcast_to(cam.eye.y, nx.shape),
                        jnp.broadcast_to(cam.eye.z, nx.shape))
+            if rng_state is not None:
+                # Depth of field (perspective.art make_perspective_dof_camera)
+                from ..core import rng as rnglib
+                _, (ua, ub) = rnglib.next_f32_n(rng_state, 2)
+                p = square_to_concentric_disk(ua, ub)
+                ax = p.x * cam.aperture
+                ay = p.y * cam.aperture
+                has_dof = cam.aperture > 1e-6
+                focus = Vec3(d.x * cam.focal, d.y * cam.focal, d.z * cam.focal)
+                ap = Vec3(right.x * ax + cam.up.x * ay,
+                          right.y * ax + cam.up.y * ay,
+                          right.z * ax + cam.up.z * ay)
+                d_dof = normalize(Vec3(focus.x - ap.x, focus.y - ap.y,
+                                       focus.z - ap.z))
+                from ..core.vec import vselect
+                m = jnp.broadcast_to(has_dof, nx.shape)
+                d = vselect(m, d_dof, d)
+                org = vselect(m, Vec3(org.x + ap.x, org.y + ap.y,
+                                      org.z + ap.z), org)
         else:  # orthogonal (orthogonal.art): parallel rays, scale = extent
             ox = cam.scale.x * nx
             oy = cam.scale.y * ny

@@ -73,12 +73,17 @@ def _render_iteration_impl(scene: SceneData, settings: RenderSettings,
     eval_texture = make_texture_evaluator(settings.texture_descs,
                                           scene.textures)
 
+    from ..core.sampler import sample_pixel_offsets
     for s in range(settings.spi):
         state = rnglib.seed(jnp.uint32(s), iteration.astype(jnp.uint32),
                             frame.astype(jnp.uint32), x.astype(jnp.uint32),
                             y.astype(jnp.uint32), jnp.uint32(settings.seed))
-        state, (rx, ry) = rnglib.next_f32_n(state, 2)
-        rays = cameralib.generate_rays(scene.camera, settings, x, y, rx, ry)
+        sample_idx = iteration.astype(jnp.uint32) * jnp.uint32(settings.spi) \
+            + jnp.uint32(s)
+        state, (rx, ry) = sample_pixel_offsets(settings.pixel_sampler, state,
+                                               sample_idx, x, y)
+        rays = cameralib.generate_rays(scene.camera, settings, x, y, rx, ry,
+                                       rng_state=state)
         color = technique(scene, settings, rays, state,
                           eval_texture=eval_texture)
         acc_r += color.r
@@ -163,6 +168,34 @@ class Runtime:
 
     def inc_frame(self):
         self._frame += 1
+
+    def render_aovs(self) -> dict:
+        """Normals/Albedo/Depth AOV images (reference AOV system +
+        infobuffer variant for denoisers)."""
+        from ..core import rng as rnglib
+        from ..models import camera as cameralib
+        from ..techniques.simple import info_buffer
+        from ..models.texture import make_texture_evaluator
+        w, h = self.settings.width, self.settings.height
+        x = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :],
+                             (h, w)).reshape(-1)
+        y = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None],
+                             (h, w)).reshape(-1)
+        state = rnglib.seed(jnp.uint32(0), jnp.uint32(0), jnp.uint32(0),
+                            x.astype(jnp.uint32), y.astype(jnp.uint32),
+                            jnp.uint32(self.settings.seed))
+        rays = cameralib.generate_rays(self.scene.camera, self.settings,
+                                       x, y, jnp.full(x.shape, 0.5),
+                                       jnp.full(x.shape, 0.5))
+        eval_texture = make_texture_evaluator(self.settings.texture_descs,
+                                              self.scene.textures)
+        normals, albedo, depth = info_buffer(self.scene, self.settings, rays,
+                                             state, eval_texture)
+
+        def im(c):
+            return np.stack([np.asarray(ch).reshape(h, w) for ch in c], -1)
+        return {"Normals": im(normals), "Albedo": im(albedo),
+                "Depth": im(depth)[..., 0]}
 
     def trace(self, rays: np.ndarray, spp: int = 1) -> np.ndarray:
         """Ray-list mode (reference Runtime::trace / igtrace): rays is

@@ -743,6 +743,67 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
             l_rows.append(light_row(kind=int(LightKind.SUN), dir=-d,
                                     intensity=rad, p0=cos_angle,
                                     delta=False, infinite=True))
+        elif t in ("cie_uniform", "cieuniform", "cie_cloudy", "ciecloudy",
+                   "cie_clear", "cieclear", "cie_intermediate",
+                   "cieintermediate"):
+            from ..models.daylight import bake_cie
+            from ..models.texture import make_image_texture
+            kind = (t.replace("cie_", "").replace("cie", ""))
+            d = _light_direction(obj)
+            img = bake_cie(
+                kind, d,
+                _as_color_const(obj.get("zenith"), (1, 1, 1)),
+                _as_color_const(obj.get("ground"), (1, 1, 1)),
+                _prop_number(obj, "ground_brightness", 0.2, texreg),
+                _prop_number(obj, "turbidity", 2.45, texreg),
+                obj.get_bool("has_ground", True),
+                _as_color_const(obj.get("scale"), (1, 1, 1)))
+            td, ta = make_image_texture(img, filt=1)
+            tid = texreg.add(f"__cie_{name}", td, ta)
+            envmap = _build_env_cdf(img, compensate=False)
+            l_rows.append(light_row(kind=int(LightKind.ENV),
+                                    intensity=np.ones(3), tex=tid,
+                                    infinite=True))
+        elif t in ("perez",):
+            from ..models.daylight import bake_perez, perez_model
+            from ..models.texture import make_image_texture
+            d = _light_direction(obj)
+            sz = math.pi / 2 - math.asin(max(-1.0, min(1.0, d[1])))
+            day = _prop_number(obj, "day_of_the_year",
+                               _prop_number(obj, "day", 180, texreg), texreg)
+            if "diffuse_irradiance" in obj.props or "direct_irradiance" in obj.props                or "direct_horizontal_irradiance" in obj.props:
+                direct = _prop_number(obj, "direct_irradiance", -1.0, texreg)
+                if direct < 0:
+                    dh = _prop_number(obj, "direct_horizontal_irradiance", 1.0, texreg)
+                    direct = dh / max(math.cos(sz), 1e-6)
+                model = perez_model(
+                    sz, day,
+                    diffuse_irrad=_prop_number(obj, "diffuse_irradiance", 1.0, texreg),
+                    direct_irrad=direct)
+            else:
+                model = perez_model(
+                    sz, day,
+                    brightness=_prop_number(obj, "brightness", 0.2, texreg),
+                    clearness=_prop_number(obj, "clearness", 1.0, texreg))
+            has_sun = obj.get_bool("has_sun", True)
+            img, sun_rad, cos_angle = bake_perez(
+                d, model,
+                tint=_as_color_const(obj.get("color"), (1, 1, 1)),
+                ground=_as_color_const(obj.get("ground"), (0.2, 0.2, 0.2)),
+                has_ground=obj.get_bool("has_ground", True),
+                has_sun=has_sun,
+                output=obj.get_string("output", "visibleradiance").lower())
+            td, ta = make_image_texture(img, filt=1)
+            tid = texreg.add(f"__perez_{name}", td, ta)
+            envmap = _build_env_cdf(img, compensate=False)
+            l_rows.append(light_row(kind=int(LightKind.ENV),
+                                    intensity=np.ones(3), tex=tid,
+                                    infinite=True))
+            if sun_rad is not None:
+                l_rows.append(light_row(kind=int(LightKind.SUN), dir=-d,
+                                        intensity=np.asarray(sun_rad),
+                                        p0=cos_angle, delta=False,
+                                        infinite=True))
         elif t in ("sky",):
             # Hosek-Wilkie sky baked to an equirect env texture + CDF
             from ..models.skysun import bake_sky
@@ -887,7 +948,9 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         dir=Vec3(*[jnp.float32(v) for v in cdir / np.linalg.norm(cdir)]),
         up=Vec3(*[jnp.float32(v) for v in cup / np.linalg.norm(cup)]),
         scale=Vec2(jnp.float32(sw), jnp.float32(sh)),
-        tmin=jnp.float32(near), tmax=jnp.float32(far))
+        tmin=jnp.float32(near), tmax=jnp.float32(far),
+        aperture=jnp.float32(cam.get_number("aperture_radius", 0.0) if cam else 0.0),
+        focal=jnp.float32(cam.get_number("focal_length", 1.0) if cam else 1.0))
 
     infinite_rows = tuple(int(i) for i, r in enumerate(l_rows)
                           if r["infinite"] and n_lights > 0)
@@ -904,6 +967,7 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         max_depth=max_depth, min_depth=min_depth, clamp=clamp,
         enable_nee=enable_nee,
         spi=int(overrides.get("spi", 1)), seed=int(overrides.get("seed", 0)),
+        pixel_sampler=str(overrides.get("pixel_sampler", "uniform")),
         camera_type=cam_type, fish_mode=fish_mode,
         infinite_light_rows=infinite_rows, n_lights=n_lights,
         texture_descs=tuple(texreg.descs),

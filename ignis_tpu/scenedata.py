@@ -125,6 +125,8 @@ class CameraData(NamedTuple):
     scale: Vec2   # tan(fov/2) horizontal/vertical
     tmin: jnp.ndarray
     tmax: jnp.ndarray
+    aperture: jnp.ndarray = jnp.float32(0.0)
+    focal: jnp.ndarray = jnp.float32(1.0)
 
 
 class SceneData(NamedTuple):
@@ -177,3 +179,4 @@ class RenderSettings:
     # per-medium PExpr closures: None or (fn_sigma_a|None, fn_sigma_s|None)
     medium_exprs: Tuple = ()
     has_blend: bool = False  # scene contains blend/mask BSDFs (dual dispatch)
+    pixel_sampler: str = "uniform"  # uniform | mjitt | halton

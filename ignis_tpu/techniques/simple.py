@@ -122,3 +122,25 @@ def light_visibility_trace(scene: SceneData, settings: RenderSettings,
     occ = occluded_scene(scene, srays)
     v = jnp.where(found & ~occ & (ls.cos > 0), 1.0, 0.0)
     return Color(v, v, v)
+
+
+def info_buffer(scene: SceneData, settings: RenderSettings, rays: Rays,
+                rng_state, eval_texture=None):
+    """Normals / Albedo / Depth AOVs in one traversal (the reference
+    `infobuffer` internal technique feeding the denoiser, OIDN.cpp)."""
+    from .path import gather_material, make_surface_ctx
+    hit = trace_scene(scene, rays)
+    found = hit.prim >= 0
+    surf = compute_surface(scene, rays, hit)
+    sctx = (make_surface_ctx(scene, rays, surf, eval_texture)
+            if eval_texture is not None else None)
+    mat = gather_material(scene, surf, eval_texture, sctx)
+    z = jnp.zeros(rays.tmin.shape, jnp.float32)
+    normals = Color(jnp.where(found, surf.ns.x, 0.0),
+                    jnp.where(found, surf.ns.y, 0.0),
+                    jnp.where(found, surf.ns.z, 0.0))
+    albedo = Color(jnp.where(found, mat.base.r, 1.0),
+                   jnp.where(found, mat.base.g, 1.0),
+                   jnp.where(found, mat.base.b, 1.0))
+    depth = jnp.where(found, hit.t, 0.0)
+    return normals, albedo, Color(depth, depth, z)

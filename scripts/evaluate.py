@@ -26,14 +26,11 @@ REF_DIR = EVAL_DIR / "references"
 # Specular-transport scenes need far more samples before the relMSE is
 # variance-dominated-free (the bundled references are 4096 spp).
 SPP_OVERRIDE = {
-    "two-planes-mirror": 512,
-    "two-planes-plastic": 256,
-    "three-planes-dielectric": 512,
-    "three-planes-glass": 512,
-    "sphere-light-uv": 256,
-    "sphere-light-ico": 256,
-    "flipped-prim-diffuse": 256,
-    "flipped-prim-glass": 512,
+    "two-planes-mirror": 128,
+    "two-planes-plastic": 128,
+    "three-planes-dielectric": 128,
+    "three-planes-glass": 128,
+    "flipped-prim-glass": 128,
 }
 
 # Scenes currently expected to pass (grow this list as features land).
@@ -92,7 +89,7 @@ def evaluate_scene(name: str, spp: int, out_dir: Path | None):
 
     spp = max(spp, SPP_OVERRIDE.get(name, 0))
     t0 = time.time()
-    rt = ignis_tpu.loadFromFile(scene_file, spi=4 if spp >= 64 else 1)
+    rt = ignis_tpu.loadFromFile(scene_file, spi=1)
     for wmsg in rt.warnings:
         print(f"  [warn] {wmsg}")
     n = max(1, spp // max(rt.settings.spi, 1))

@@ -275,50 +275,72 @@ def _plastic_pdf(mat: MatParams, wi: Vec3, wo: Vec3):
 # Public API
 # ---------------------------------------------------------------------------
 
+ALL_KINDS = tuple(int(k) for k in BsdfKind)
+
+
+def _want(present, kind):
+    return present is None or int(kind) in present
+
+
 def eval_bsdf(mat: MatParams, frame: Frame, is_entering, in_dir: Vec3,
-              out_dir: Vec3) -> Color:
+              out_dir: Vec3, present=None) -> Color:
+    """Masked dispatch; `present` (static tuple of BsdfKind ints) prunes
+    kinds absent from the scene — the XLA analog of the reference's
+    per-material shader specialization."""
     wi = frame.to_local(in_dir)
     wo = frame.to_local(out_dir)
     kinds = mat.kind
     res = black(mat.p0.shape)
-    res = cselect(kinds == BsdfKind.DIFFUSE, _diffuse_eval(mat, wi, wo), res)
-    res = cselect(kinds == BsdfKind.PHONG, _phong_eval(mat, wi, wo), res)
-    res = cselect(kinds == BsdfKind.PLASTIC, _plastic_eval(mat, wi, wo), res)
-    res = cselect(kinds == BsdfKind.CONDUCTOR,
-                  _conductor_rough_eval(mat, wi, wo), res)
-    res = cselect(kinds == BsdfKind.DIELECTRIC,
-                  _dielectric_rough_eval(mat, is_entering, wi, wo), res)
-    if mat.q0 is not None:
+    if _want(present, BsdfKind.DIFFUSE):
+        res = cselect(kinds == BsdfKind.DIFFUSE, _diffuse_eval(mat, wi, wo), res)
+    if _want(present, BsdfKind.PHONG):
+        res = cselect(kinds == BsdfKind.PHONG, _phong_eval(mat, wi, wo), res)
+    if _want(present, BsdfKind.PLASTIC):
+        res = cselect(kinds == BsdfKind.PLASTIC, _plastic_eval(mat, wi, wo), res)
+    if _want(present, BsdfKind.CONDUCTOR):
+        res = cselect(kinds == BsdfKind.CONDUCTOR,
+                      _conductor_rough_eval(mat, wi, wo), res)
+    if _want(present, BsdfKind.DIELECTRIC):
+        res = cselect(kinds == BsdfKind.DIELECTRIC,
+                      _dielectric_rough_eval(mat, is_entering, wi, wo), res)
+    if mat.q0 is not None and _want(present, BsdfKind.PRINCIPLED):
         from . import principled as principled_mod
         res = cselect(kinds == BsdfKind.PRINCIPLED,
                       principled_mod.eval_principled(mat, is_entering, wi, wo),
                       res)
-    err = jnp.maximum(wi.z, 0.0) * INV_PI
-    res = cselect(kinds == BsdfKind.NULL_ERROR,
-                  Color(err, jnp.zeros_like(err), err), res)
+    if _want(present, BsdfKind.NULL_ERROR):
+        err = jnp.maximum(wi.z, 0.0) * INV_PI
+        res = cselect(kinds == BsdfKind.NULL_ERROR,
+                      Color(err, jnp.zeros_like(err), err), res)
     return res
 
 
 def pdf_bsdf(mat: MatParams, frame: Frame, is_entering, in_dir: Vec3,
-             out_dir: Vec3) -> jnp.ndarray:
+             out_dir: Vec3, present=None) -> jnp.ndarray:
     wi = frame.to_local(in_dir)
     wo = frame.to_local(out_dir)
     kinds = mat.kind
     cos_i = jnp.maximum(wi.z, 0.0)
     cos_pdf = cosine_hemisphere_pdf(cos_i)
     pdf = jnp.zeros(mat.p0.shape, jnp.float32)
-    pdf = jnp.where(kinds == BsdfKind.DIFFUSE, cos_pdf, pdf)
-    pdf = jnp.where(kinds == BsdfKind.NULL_ERROR, cos_pdf, pdf)
-    pdf = jnp.where(kinds == BsdfKind.PLASTIC, _plastic_pdf(mat, wi, wo), pdf)
-    r = Vec3(-wo.x, -wo.y, wo.z)
-    c = jnp.maximum(dot(r, wi), 0.0)
-    pdf = jnp.where(kinds == BsdfKind.PHONG,
-                    cosine_power_hemisphere_pdf(c, mat.p0), pdf)
-    pdf = jnp.where(kinds == BsdfKind.CONDUCTOR,
-                    _conductor_rough_pdf(mat, wi, wo), pdf)
-    pdf = jnp.where(kinds == BsdfKind.DIELECTRIC,
-                    _dielectric_rough_pdf(mat, is_entering, wi, wo), pdf)
-    if mat.q0 is not None:
+    if _want(present, BsdfKind.DIFFUSE):
+        pdf = jnp.where(kinds == BsdfKind.DIFFUSE, cos_pdf, pdf)
+    if _want(present, BsdfKind.NULL_ERROR):
+        pdf = jnp.where(kinds == BsdfKind.NULL_ERROR, cos_pdf, pdf)
+    if _want(present, BsdfKind.PLASTIC):
+        pdf = jnp.where(kinds == BsdfKind.PLASTIC, _plastic_pdf(mat, wi, wo), pdf)
+    if _want(present, BsdfKind.PHONG):
+        r = Vec3(-wo.x, -wo.y, wo.z)
+        c = jnp.maximum(dot(r, wi), 0.0)
+        pdf = jnp.where(kinds == BsdfKind.PHONG,
+                        cosine_power_hemisphere_pdf(c, mat.p0), pdf)
+    if _want(present, BsdfKind.CONDUCTOR):
+        pdf = jnp.where(kinds == BsdfKind.CONDUCTOR,
+                        _conductor_rough_pdf(mat, wi, wo), pdf)
+    if _want(present, BsdfKind.DIELECTRIC):
+        pdf = jnp.where(kinds == BsdfKind.DIELECTRIC,
+                        _dielectric_rough_pdf(mat, is_entering, wi, wo), pdf)
+    if mat.q0 is not None and _want(present, BsdfKind.PRINCIPLED):
         from . import principled as principled_mod
         pdf = jnp.where(kinds == BsdfKind.PRINCIPLED,
                         principled_mod.pdf_principled(mat, is_entering, wi, wo),
@@ -335,8 +357,9 @@ def is_all_delta(mat: MatParams) -> jnp.ndarray:
 
 
 def sample_bsdf(mat: MatParams, frame: Frame, is_entering, out_dir: Vec3,
-                u0, u1, u2) -> BsdfSample:
-    """Masked-dispatch sample. u0: lobe select; u1, u2: direction."""
+                u0, u1, u2, present=None) -> BsdfSample:
+    """Masked-dispatch sample. u0: lobe select; u1, u2: direction.
+    `present` statically prunes kinds absent from the scene."""
     shape = mat.p0.shape
     kinds = mat.kind
     zero = jnp.zeros(shape, jnp.float32)
@@ -345,144 +368,157 @@ def sample_bsdf(mat: MatParams, frame: Frame, is_entering, out_dir: Vec3,
     true = zero < 1
     wo = frame.to_local(out_dir)
     cos_o = wo.z
+    refl_smooth = Vec3(-wo.x, -wo.y, wo.z)
 
-    # --- shared samples ----------------------------------------------------
-    cdir, cpdf = sample_cosine_hemisphere(u1, u2)            # cosine lobe
-    h_l = mf.sample_vndf_ggx(wo, jnp.maximum(mat.p2, 1e-5),
-                             jnp.maximum(jnp.where(kinds == BsdfKind.CONDUCTOR,
-                                                   mat.p3, mat.p2), 1e-5),
-                             u1, u2)                          # vNDF half-vec
+    need_cos = any(_want(present, k) for k in
+                   (BsdfKind.DIFFUSE, BsdfKind.PLASTIC, BsdfKind.NULL_ERROR))
+    need_vndf = any(_want(present, k) for k in
+                    (BsdfKind.CONDUCTOR, BsdfKind.DIELECTRIC, BsdfKind.PLASTIC))
+
+    if need_cos:
+        cdir, cpdf = sample_cosine_hemisphere(u1, u2)
+    if need_vndf:
+        h_l = mf.sample_vndf_ggx(wo, jnp.maximum(mat.p2, 1e-5),
+                                 jnp.maximum(jnp.where(kinds == BsdfKind.CONDUCTOR,
+                                                       mat.p3, mat.p2), 1e-5),
+                                 u1, u2)
+        refl_r = reflect(wo, h_l)
+
+    out = BsdfSample(refl_smooth, one, Color(one, one, one), one, true,
+                     false)  # inert default (invalid)
+
+    def sel(kind_val, s_, cur):
+        return _sel_sample(kinds == kind_val, s_, cur)
 
     # --- diffuse (lambert: weight = kd; oren-nayar: weight = eval/pdf) -----
-    on_w = _oren_nayar_eval(mat.base, mat.p1, cdir, wo) * safe_div(1.0, cpdf)
-    diff_w = cselect(mat.p1 > EPS, on_w, mat.base)
-    diff_s = BsdfSample(cdir, cpdf, diff_w, one, false, cpdf > 0)
+    if _want(present, BsdfKind.DIFFUSE):
+        on_w = _oren_nayar_eval(mat.base, mat.p1, cdir, wo) * safe_div(1.0, cpdf)
+        diff_w = cselect(mat.p1 > EPS, on_w, mat.base)
+        diff_s = BsdfSample(cdir, cpdf, diff_w, one, false, cpdf > 0)
+        out = sel(BsdfKind.DIFFUSE, diff_s, out)
 
     # --- phong -------------------------------------------------------------
-    pdir_l, ppdf = sample_cosine_power_hemisphere(mat.p0, u1, u2)
-    r_wo = Vec3(-wo.x, -wo.y, wo.z)
-    rfr = make_frame(r_wo)
-    pdir = rfr.to_world(pdir_l)
-    p_eval = _phong_eval(mat, pdir, wo)
-    p_w = cselect(ppdf > EPS, p_eval * safe_div(1.0, ppdf), black(shape))
-    phong_s = BsdfSample(pdir, ppdf, p_w, one, false,
-                         (ppdf > EPS) & (pdir.z > 0))
+    if _want(present, BsdfKind.PHONG):
+        pdir_l, ppdf = sample_cosine_power_hemisphere(mat.p0, u1, u2)
+        r_wo = Vec3(-wo.x, -wo.y, wo.z)
+        rfr = make_frame(r_wo)
+        pdir = rfr.to_world(pdir_l)
+        p_eval = _phong_eval(mat, pdir, wo)
+        p_w = cselect(ppdf > EPS, p_eval * safe_div(1.0, ppdf), black(shape))
+        phong_s = BsdfSample(pdir, ppdf, p_w, one, false,
+                             (ppdf > EPS) & (pdir.z > 0))
+        out = sel(BsdfKind.PHONG, phong_s, out)
 
     # --- conductor (smooth + rough) ----------------------------------------
-    refl_smooth = Vec3(-wo.x, -wo.y, wo.z)
-    f_smooth = _conductor_fresnel(mat.extra, mat.extra2, jnp.maximum(cos_o, 0.0))
-    cond_sm = BsdfSample(refl_smooth, one, mat.base.cmul(f_smooth), one,
-                         true, cos_o > 0)
-    au = jnp.maximum(mat.p2, 1e-5)
-    av = jnp.maximum(mat.p3, 1e-5)
-    refl_r = reflect(wo, h_l)
-    pdf_h = mf.pdf_vndf_ggx(wo, h_l, au, av)
-    pdf_r = pdf_h * jnp.abs(mf.reflective_jacobian(dot(h_l, wo)))
-    ev_r = _conductor_rough_eval(mat, refl_r, wo)
-    w_r = ev_r * safe_div(1.0, pdf_r)
-    cond_ro = BsdfSample(refl_r, pdf_r, w_r, one, false,
-                         (pdf_r > 1e-7) & (refl_r.z > 0) & (cos_o > 0))
-    cond_rough = mat.p2 > DELTA_ALPHA
-    cond_s = _sel_sample(cond_rough, cond_ro, cond_sm)
+    if _want(present, BsdfKind.CONDUCTOR):
+        f_smooth = _conductor_fresnel(mat.extra, mat.extra2,
+                                      jnp.maximum(cos_o, 0.0))
+        cond_sm = BsdfSample(refl_smooth, one, mat.base.cmul(f_smooth), one,
+                             true, cos_o > 0)
+        au = jnp.maximum(mat.p2, 1e-5)
+        av = jnp.maximum(mat.p3, 1e-5)
+        pdf_h = mf.pdf_vndf_ggx(wo, h_l, au, av)
+        pdf_r = pdf_h * jnp.abs(mf.reflective_jacobian(dot(h_l, wo)))
+        ev_r = _conductor_rough_eval(mat, refl_r, wo)
+        w_r = ev_r * safe_div(1.0, pdf_r)
+        cond_ro = BsdfSample(refl_r, pdf_r, w_r, one, false,
+                             (pdf_r > 1e-7) & (refl_r.z > 0) & (cos_o > 0))
+        cond_s = _sel_sample(mat.p2 > DELTA_ALPHA, cond_ro, cond_sm)
+        out = sel(BsdfKind.CONDUCTOR, cond_s, out)
 
     # --- dielectric (smooth + rough + thin) --------------------------------
-    k_ratio = _eta_ratio(mat, is_entering)
-    fsm = fr.fresnel_dielectric(k_ratio, jnp.maximum(cos_o, 0.0))
-    # refract about +z: t = n*(k cos_o - cos_t) - wo*k with n = (0,0,1)
-    refr_sm = Vec3(-wo.x * k_ratio, -wo.y * k_ratio,
-                   k_ratio * cos_o - fsm.cos_t - k_ratio * wo.z)
-    choose_refl = u0 <= fsm.factor
-    d_dir = vselect(choose_refl, refl_smooth, refr_sm)
-    d_w = cselect(choose_refl, mat.base, mat.extra)
-    d_eta = jnp.where(choose_refl, one, k_ratio)
-    thin = mat.p3 > 0.5
-    kt_ratio = mat.p0 / jnp.maximum(mat.p1, 1e-6)
-    ft = fr.fresnel_dielectric(kt_ratio, jnp.abs(cos_o)).factor
-    ft = ft + (1.0 - ft) * ft / (ft + 1.0)
-    thin_refl = u0 <= ft
-    d_dir = vselect(thin, vselect(thin_refl, refl_smooth, -wo), d_dir)
-    d_w = cselect(thin, cselect(thin_refl, mat.base, mat.extra), d_w)
-    d_eta = jnp.where(thin, one, d_eta)
-    diel_sm = BsdfSample(d_dir, one, d_w, d_eta, true, true)
+    if _want(present, BsdfKind.DIELECTRIC):
+        k_ratio = _eta_ratio(mat, is_entering)
+        fsm = fr.fresnel_dielectric(k_ratio, jnp.maximum(cos_o, 0.0))
+        refr_sm = Vec3(-wo.x * k_ratio, -wo.y * k_ratio,
+                       k_ratio * cos_o - fsm.cos_t - k_ratio * wo.z)
+        choose_refl = u0 <= fsm.factor
+        d_dir = vselect(choose_refl, refl_smooth, refr_sm)
+        d_w = cselect(choose_refl, mat.base, mat.extra)
+        d_eta = jnp.where(choose_refl, one, k_ratio)
+        thin = mat.p3 > 0.5
+        kt_ratio = mat.p0 / jnp.maximum(mat.p1, 1e-6)
+        ft = fr.fresnel_dielectric(kt_ratio, jnp.abs(cos_o)).factor
+        ft = ft + (1.0 - ft) * ft / (ft + 1.0)
+        thin_refl = u0 <= ft
+        d_dir = vselect(thin, vselect(thin_refl, refl_smooth, -wo), d_dir)
+        d_w = cselect(thin, cselect(thin_refl, mat.base, mat.extra), d_w)
+        d_eta = jnp.where(thin, one, d_eta)
+        diel_sm = BsdfSample(d_dir, one, d_w, d_eta, true, true)
 
-    # rough dielectric
-    cos_h_o = dot(h_l, wo)
-    frough = fr.fresnel_dielectric(k_ratio, jnp.abs(cos_h_o))
-    refl_h = reflect(wo, h_l)
-    refr_h = normalize(Vec3(
-        h_l.x * (k_ratio * cos_h_o - frough.cos_t) - wo.x * k_ratio,
-        h_l.y * (k_ratio * cos_h_o - frough.cos_t) - wo.y * k_ratio,
-        h_l.z * (k_ratio * cos_h_o - frough.cos_t) - wo.z * k_ratio))
-    dr_refl = u0 <= frough.factor
-    dr_dir = vselect(dr_refl, refl_h, refr_h)
-    alpha = jnp.maximum(mat.p2, 1e-5)
-    mpdf = mf.pdf_vndf_ggx(wo, h_l, alpha, alpha)
-    jac_refl = jnp.abs(mf.reflective_jacobian(cos_h_o))
-    jac_refr = jnp.abs(mf.refractive_jacobian(k_ratio, dot(h_l, dr_dir), cos_h_o))
-    sel_pdf = jnp.where(dr_refl, frough.factor * jac_refl,
-                        (1.0 - frough.factor) * jac_refr)
-    f_pdf = mpdf * sel_pdf
-    dr_eval = _dielectric_rough_eval(mat, is_entering, dr_dir, wo)
-    dr_w = dr_eval * safe_div(1.0, f_pdf)
-    dr_is_trans = (dr_dir.z * cos_o) < 0.0
-    dr_eta = jnp.where(dr_is_trans, k_ratio, one)
-    # Reject side-switching samples (reflection below horizon / transmission
-    # above): their pdf/eval classification would disagree with sampling.
-    dr_consistent = dr_refl != dr_is_trans
-    diel_ro = BsdfSample(dr_dir, f_pdf, dr_w, dr_eta, false,
-                         (f_pdf > 1e-7) & (jnp.abs(cos_h_o) > EPS)
-                         & dr_consistent)
-    diel_rough = (mat.p2 > DELTA_ALPHA) & ~thin
-    diel_s = _sel_sample(diel_rough, diel_ro, diel_sm)
+        cos_h_o = dot(h_l, wo)
+        frough = fr.fresnel_dielectric(k_ratio, jnp.abs(cos_h_o))
+        refl_h = reflect(wo, h_l)
+        refr_h = normalize(Vec3(
+            h_l.x * (k_ratio * cos_h_o - frough.cos_t) - wo.x * k_ratio,
+            h_l.y * (k_ratio * cos_h_o - frough.cos_t) - wo.y * k_ratio,
+            h_l.z * (k_ratio * cos_h_o - frough.cos_t) - wo.z * k_ratio))
+        dr_refl = u0 <= frough.factor
+        dr_dir = vselect(dr_refl, refl_h, refr_h)
+        alpha = jnp.maximum(mat.p2, 1e-5)
+        mpdf = mf.pdf_vndf_ggx(wo, h_l, alpha, alpha)
+        jac_refl = jnp.abs(mf.reflective_jacobian(cos_h_o))
+        jac_refr = jnp.abs(mf.refractive_jacobian(k_ratio, dot(h_l, dr_dir),
+                                                  cos_h_o))
+        sel_pdf = jnp.where(dr_refl, frough.factor * jac_refl,
+                            (1.0 - frough.factor) * jac_refr)
+        f_pdf = mpdf * sel_pdf
+        dr_eval = _dielectric_rough_eval(mat, is_entering, dr_dir, wo)
+        dr_w = dr_eval * safe_div(1.0, f_pdf)
+        dr_is_trans = (dr_dir.z * cos_o) < 0.0
+        dr_eta = jnp.where(dr_is_trans, k_ratio, one)
+        # Reject side-switching samples (reflection below horizon /
+        # transmission above): pdf/eval classification would disagree.
+        dr_consistent = dr_refl != dr_is_trans
+        diel_ro = BsdfSample(dr_dir, f_pdf, dr_w, dr_eta, false,
+                             (f_pdf > 1e-7) & (jnp.abs(cos_h_o) > EPS)
+                             & dr_consistent)
+        diel_s = _sel_sample((mat.p2 > DELTA_ALPHA) & ~thin, diel_ro, diel_sm)
+        out = sel(BsdfKind.DIELECTRIC, diel_s, out)
 
     # --- passthrough -------------------------------------------------------
-    pass_s = BsdfSample(-wo, one, Color(one, one, one), one, true, true)
+    if _want(present, BsdfKind.PASSTHROUGH):
+        pass_s = BsdfSample(-wo, one, Color(one, one, one), one, true, true)
+        out = sel(BsdfKind.PASSTHROUGH, pass_s, out)
 
     # --- plastic -----------------------------------------------------------
-    fo, scatter = _plastic_parts(mat, cdir, wo)
-    pl_refl = u0 <= fo
-    # specular part: smooth -> mirror; rough -> vndf reflect
-    pl_rough = mat.p2 > DELTA_ALPHA
-    pl_spec_dir = vselect(pl_rough, refl_r, refl_smooth)
-    pl_dir = vselect(pl_refl, pl_spec_dir, cdir)
-    pl_pdf_d = (1.0 - fo) * cosine_hemisphere_pdf(jnp.maximum(pl_dir.z, 0.0))
-    coat_mat = mat._replace(p3=mat.p2)
-    pl_pdf_s = jnp.where(pl_rough, fo * _conductor_rough_pdf(coat_mat, pl_dir, wo), fo)
-    pl_eval = _plastic_eval(mat, pl_dir, wo)
-    # smooth spec: delta weight = extra (specular_reflectance)
-    pl_pdf = jnp.where(pl_rough, pl_pdf_d + pl_pdf_s,
-                       jnp.where(pl_refl, fo, pl_pdf_d))
-    w_diff = mat.base * (scatter * jnp.ones_like(fo))
-    pl_w = cselect(
-        pl_rough,
-        pl_eval * safe_div(1.0, pl_pdf),
-        cselect(pl_refl, mat.extra, w_diff))
-    plastic_s = BsdfSample(pl_dir, pl_pdf, pl_w, one,
-                           pl_refl & ~pl_rough, (pl_pdf > 1e-7) | (pl_refl & ~pl_rough))
+    if _want(present, BsdfKind.PLASTIC):
+        fo, scatter = _plastic_parts(mat, cdir, wo)
+        pl_refl = u0 <= fo
+        pl_rough = mat.p2 > DELTA_ALPHA
+        pl_spec_dir = vselect(pl_rough, refl_r, refl_smooth)
+        pl_dir = vselect(pl_refl, pl_spec_dir, cdir)
+        pl_pdf_d = (1.0 - fo) * cosine_hemisphere_pdf(jnp.maximum(pl_dir.z, 0.0))
+        coat_mat = mat._replace(p3=mat.p2)
+        pl_pdf_s = jnp.where(pl_rough,
+                             fo * _conductor_rough_pdf(coat_mat, pl_dir, wo), fo)
+        pl_eval = _plastic_eval(mat, pl_dir, wo)
+        pl_pdf = jnp.where(pl_rough, pl_pdf_d + pl_pdf_s,
+                           jnp.where(pl_refl, fo, pl_pdf_d))
+        w_diff = mat.base * (scatter * jnp.ones_like(fo))
+        pl_w = cselect(pl_rough, pl_eval * safe_div(1.0, pl_pdf),
+                       cselect(pl_refl, mat.extra, w_diff))
+        plastic_s = BsdfSample(pl_dir, pl_pdf, pl_w, one,
+                               pl_refl & ~pl_rough,
+                               (pl_pdf > 1e-7) | (pl_refl & ~pl_rough))
+        out = sel(BsdfKind.PLASTIC, plastic_s, out)
 
     # --- principled --------------------------------------------------------
-    if mat.q0 is not None:
+    if mat.q0 is not None and _want(present, BsdfKind.PRINCIPLED):
         from . import principled as principled_mod
         pr_wi, pr_pdf, pr_eta, pr_valid = principled_mod.sample_principled(
             mat, is_entering, wo, u0, u1, u2)
         pr_eval = principled_mod.eval_principled(mat, is_entering, pr_wi, wo)
         pr_w = pr_eval * safe_div(1.0, pr_pdf)
         principled_s = BsdfSample(pr_wi, pr_pdf, pr_w, pr_eta, false, pr_valid)
-
-    def sel(kind_val, s, cur):
-        return _sel_sample(kinds == kind_val, s, cur)
-
-    out = diff_s
-    out = sel(BsdfKind.PHONG, phong_s, out)
-    out = sel(BsdfKind.DIELECTRIC, diel_s, out)
-    out = sel(BsdfKind.CONDUCTOR, cond_s, out)
-    out = sel(BsdfKind.PASSTHROUGH, pass_s, out)
-    out = sel(BsdfKind.PLASTIC, plastic_s, out)
-    if mat.q0 is not None:
         out = sel(BsdfKind.PRINCIPLED, principled_s, out)
-    out = sel(BsdfKind.NULL_ERROR,
-              BsdfSample(diff_s.in_dir, diff_s.pdf, Color(one, zero, one),
-                         one, false, diff_s.valid), out)
+
+    if _want(present, BsdfKind.NULL_ERROR):
+        err_s = BsdfSample(cdir, cpdf, Color(one, zero, one), one, false,
+                           cpdf > 0) if need_cos else None
+        if err_s is not None:
+            out = sel(BsdfKind.NULL_ERROR, err_s, out)
+
     # Convert local direction to world
     return out._replace(in_dir=frame.to_world(out.in_dir))
 
@@ -519,26 +555,32 @@ def gather_row(materials, mid):
 class LaneShader:
     """Per-lane BSDF interface over (possibly blended) material rows."""
 
-    def __init__(self, matA: MatParams, matB: MatParams, w, frame, entering):
+    def __init__(self, matA: MatParams, matB: MatParams, w, frame, entering,
+                 present=None):
         self.matA = matA
         self.matB = matB
         self.w = w            # lerp weight towards B; None = no blending
         self.frame = frame
         self.entering = entering
+        self.present = present
 
     def eval(self, in_dir: Vec3, out_dir: Vec3) -> Color:
-        a = eval_bsdf(self.matA, self.frame, self.entering, in_dir, out_dir)
+        a = eval_bsdf(self.matA, self.frame, self.entering, in_dir, out_dir,
+                      self.present)
         if self.w is None:
             return a
-        b = eval_bsdf(self.matB, self.frame, self.entering, in_dir, out_dir)
+        b = eval_bsdf(self.matB, self.frame, self.entering, in_dir, out_dir,
+                      self.present)
         from ..core.vec import clerp
         return clerp(a, b, self.w)
 
     def pdf(self, in_dir: Vec3, out_dir: Vec3):
-        a = pdf_bsdf(self.matA, self.frame, self.entering, in_dir, out_dir)
+        a = pdf_bsdf(self.matA, self.frame, self.entering, in_dir, out_dir,
+                     self.present)
         if self.w is None:
             return a
-        b = pdf_bsdf(self.matB, self.frame, self.entering, in_dir, out_dir)
+        b = pdf_bsdf(self.matB, self.frame, self.entering, in_dir, out_dir,
+                     self.present)
         return a + (b - a) * self.w
 
     def is_all_delta(self):
@@ -550,19 +592,23 @@ class LaneShader:
 
     def sample(self, out_dir: Vec3, u_pick, u0, u1, u2) -> BsdfSample:
         sA = sample_bsdf(self.matA, self.frame, self.entering, out_dir,
-                         u0, u1, u2)
+                         u0, u1, u2, self.present)
         if self.w is None:
             return sA
         from ..core.vec import clerp
         sB = sample_bsdf(self.matB, self.frame, self.entering, out_dir,
-                         u0, u1, u2)
+                         u0, u1, u2, self.present)
         pick_b = u_pick < self.w
         s = _sel_sample(pick_b, sB, sA)
         # pdf/eval of the *other* child at the sampled direction
-        pdfA = pdf_bsdf(self.matA, self.frame, self.entering, s.in_dir, out_dir)
-        pdfB = pdf_bsdf(self.matB, self.frame, self.entering, s.in_dir, out_dir)
-        evalA = eval_bsdf(self.matA, self.frame, self.entering, s.in_dir, out_dir)
-        evalB = eval_bsdf(self.matB, self.frame, self.entering, s.in_dir, out_dir)
+        pdfA = pdf_bsdf(self.matA, self.frame, self.entering, s.in_dir,
+                        out_dir, self.present)
+        pdfB = pdf_bsdf(self.matB, self.frame, self.entering, s.in_dir,
+                        out_dir, self.present)
+        evalA = eval_bsdf(self.matA, self.frame, self.entering, s.in_dir,
+                          out_dir, self.present)
+        evalB = eval_bsdf(self.matB, self.frame, self.entering, s.in_dir,
+                          out_dir, self.present)
         # mix.art sample_mat: chosen child contributes s.color * s.pdf
         c_first = s.weight * s.pdf
         w = self.w
@@ -575,10 +621,11 @@ class LaneShader:
 
 
 def make_lane_shader(materials, mid, base_mat: MatParams, frame, entering,
-                     has_blend: bool, weight_override=None) -> LaneShader:
+                     has_blend: bool, weight_override=None,
+                     present=None) -> LaneShader:
     """Build the lane shader; resolves one level of blend children."""
     if not has_blend:
-        return LaneShader(base_mat, base_mat, None, frame, entering)
+        return LaneShader(base_mat, base_mat, None, frame, entering, present)
     is_blend = base_mat.kind == BsdfKind.BLEND
     aid = jnp.where(is_blend, base_mat.q0.astype(jnp.int32), mid)
     bid = jnp.where(is_blend, base_mat.q1.astype(jnp.int32), mid)
@@ -588,4 +635,4 @@ def make_lane_shader(materials, mid, base_mat: MatParams, frame, entering,
     # cutoff flag (p2): binarize the weight at threshold p1
     w = jnp.where(base_mat.p2 > 0.5, jnp.where(w >= base_mat.p1, 1.0, 0.0), w)
     w = jnp.where(is_blend, jnp.clip(w, 0.0, 1.0), 0.0)
-    return LaneShader(matA, matB, w, frame, entering)
+    return LaneShader(matA, matB, w, frame, entering, present)

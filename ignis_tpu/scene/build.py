@@ -769,8 +769,14 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
             from ..models.texture import make_image_texture
             d = _light_direction(obj)
             sz = math.pi / 2 - math.asin(max(-1.0, min(1.0, d[1])))
-            day = _prop_number(obj, "day_of_the_year",
-                               _prop_number(obj, "day", 180, texreg), texreg)
+            import datetime
+            try:
+                day = datetime.date(obj.get_int("year", 2020),
+                                    obj.get_int("month", 5),
+                                    obj.get_int("day", 6)).timetuple().tm_yday
+            except ValueError:
+                day = 127
+            day = _prop_number(obj, "day_of_the_year", day, texreg)
             if "diffuse_irradiance" in obj.props or "direct_irradiance" in obj.props                or "direct_horizontal_irradiance" in obj.props:
                 direct = _prop_number(obj, "direct_irradiance", -1.0, texreg)
                 if direct < 0:
@@ -973,6 +979,7 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         texture_descs=tuple(texreg.descs),
         medium_exprs=tuple(med_exprs),
         has_blend=has_blend,
+        bsdf_kinds=tuple(sorted({int(r["kind"]) for r in mat_rows})),
         debug_mode=tech.get_int("mode", 0) if tech else 0)
 
     return BuiltScene(data=data, settings=settings, warnings=warnings)
@@ -1053,15 +1060,25 @@ def _roughness_uv(obj: SceneObject, texreg=None):
 
 
 def _light_direction(obj: SceneObject) -> np.ndarray:
+    """LoaderUtils::getDirection: direction | sun_direction |
+    elevation/azimuth | sun position from date/time/location (Y-up)."""
+    from ..models.skysun import compute_sun_ea, ea_to_direction_yup
     if "direction" in obj.props:
         d = obj.get_vec3("direction", (0, 0, 1))
+    elif "sun_direction" in obj.props:
+        d = obj.get_vec3("sun_direction", (0, 0, 1))
     elif "elevation" in obj.props or "azimuth" in obj.props:
-        # reference LoaderUtils::getDirection: from elevation/azimuth
-        el = math.radians(obj.get_number("elevation", 0.0))
-        az = math.radians(obj.get_number("azimuth", 0.0))
-        d = np.array([math.cos(el) * math.sin(az), math.cos(el) * math.cos(az),
-                      math.sin(el)])
+        # NOTE: reference takes elevation/azimuth in radians, west of south
+        d = ea_to_direction_yup(obj.get_number("elevation", 0.0),
+                                obj.get_number("azimuth", 0.0))
     else:
-        d = obj.get_vec3("direction", (0, 0, 1))
+        el, az = compute_sun_ea(
+            obj.get_int("year", 2020), obj.get_int("month", 5),
+            obj.get_int("day", 6), obj.get_int("hour", 12),
+            obj.get_int("minute", 0), obj.get_number("seconds", 0.0),
+            obj.get_number("latitude", 49.235422),
+            obj.get_number("longitude", -6.9965744),
+            obj.get_number("timezone", -2.0))
+        d = ea_to_direction_yup(el, az)
     n = np.linalg.norm(d)
     return d / n if n > 0 else np.array([0, 0, 1.0])

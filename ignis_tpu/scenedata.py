@@ -180,3 +180,5 @@ class RenderSettings:
     medium_exprs: Tuple = ()
     has_blend: bool = False  # scene contains blend/mask BSDFs (dual dispatch)
     pixel_sampler: str = "uniform"  # uniform | mjitt | halton
+    # static set of BsdfKind ints present in the scene (dispatch pruning)
+    bsdf_kinds: Tuple = None

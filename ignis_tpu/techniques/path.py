@@ -231,7 +231,8 @@ def make_bounce(scene: SceneData, settings: RenderSettings, n,
             w_override = jnp.where(p0t >= 0, wtex.r, mat.p0)
         shader = bsdflib.make_lane_shader(scene.materials, mid, mat, frame,
                                           surf.is_entering,
-                                          settings.has_blend, w_override)
+                                          settings.has_blend, w_override,
+                                          settings.bsdf_kinds)
         all_delta = shader.is_all_delta()
 
         # Emission on hit (on_hit, pathtracer.art:120)

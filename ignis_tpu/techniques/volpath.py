@@ -100,7 +100,8 @@ def volpath_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
             w_override = jnp.where(p0t >= 0, wtex.r, mat.p0)
         shader = bsdflib.make_lane_shader(scene.materials, mid, mat, frame,
                                           surf.is_entering,
-                                          settings.has_blend, w_override)
+                                          settings.has_blend, w_override,
+                                          settings.bsdf_kinds)
         all_delta = shader.is_all_delta()
         seg_tr = medlib.transmittance(med, jnp.where(found, hit.t, 0.0))
 

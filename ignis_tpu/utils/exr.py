@@ -162,16 +162,17 @@ def load_exr_rgb(path) -> np.ndarray:
 
 
 def _unpredict(d: np.ndarray) -> bytes:
-    """EXR zip/rle post-filter: de-interleave + integrate."""
-    n = d.shape[0]
+    """EXR zip/rle post-filter: delta-predictor first, THEN de-interleave
+    (OpenEXR ImfZip::uncompress order)."""
+    delta = d.astype(np.int64)
+    delta[1:] -= 128 + 256
+    rec = (np.cumsum(delta, dtype=np.int64) & 0xFF).astype(np.uint8)
+    n = rec.shape[0]
     half = (n + 1) // 2
     inter = np.empty(n, np.uint8)
-    inter[0::2] = d[:half]
-    inter[1::2] = d[half:]
-    delta = inter.astype(np.int64)
-    delta[1:] -= 128 + 256
-    rec = np.cumsum(delta, dtype=np.int64)
-    return (rec & 0xFF).astype(np.uint8).tobytes()
+    inter[0::2] = rec[:half]
+    inter[1::2] = rec[half:]
+    return inter.tobytes()
 
 
 def _rle_decompress(src: bytes) -> bytes:

@@ -105,17 +105,18 @@ def _write_exr_fallback(path, img: np.ndarray):
         for y in ys:
             for _, ch in channels:
                 raw += ch[y].astype("<f4").tobytes()
-        # EXR zip predictor: delta then interleave
-        a = np.frombuffer(raw, np.uint8).astype(np.int16)
-        d = np.empty_like(a)
-        d[0] = a[0]
-        d[1:] = a[1:] - a[:-1] + 128 + 256
-        d = (d & 0xFF).astype(np.uint8)
-        half = (len(d) + 1) // 2
-        inter = np.empty_like(d)
-        inter[:half] = d[0::2]
-        inter[half:] = d[1::2]
-        comp = zlib.compress(inter.tobytes())
+        # EXR zip pre-filter: de-interleave split first, then delta predictor
+        # (OpenEXR ImfZip::compress order)
+        a = np.frombuffer(raw, np.uint8)
+        half = (len(a) + 1) // 2
+        split = np.empty_like(a)
+        split[:half] = a[0::2]
+        split[half:] = a[1::2]
+        d = split.astype(np.int16)
+        out = np.empty_like(d)
+        out[0] = d[0]
+        out[1:] = d[1:] - d[:-1] + 128 + 256
+        comp = zlib.compress((out & 0xFF).astype(np.uint8).tobytes())
         if len(comp) >= len(raw):
             comp = raw
         blocks.append((y0, comp))

@@ -18,8 +18,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 SCENE = "/root/reference/scenes/diamond_scene.json"
 SIZE = 512
 SPP = 64
-WARMUP = 2
-TIMED = 10
+SPI = 8          # samples per iteration (persistent-lane wavefront)
+WARMUP = 1
+TIMED = 7
 
 # First recorded TPU v5e median Msamples/s for this config (round 1 anchor).
 ANCHOR_MSPS = None
@@ -29,7 +30,7 @@ def main():
     import jax
     import ignis_tpu
 
-    rt = ignis_tpu.loadFromFile(SCENE, width=SIZE, height=SIZE, spi=1)
+    rt = ignis_tpu.loadFromFile(SCENE, width=SIZE, height=SIZE, spi=SPI)
     n_lanes = rt.framebuffer_width * rt.framebuffer_height * rt.settings.spi
 
     for _ in range(WARMUP):
@@ -37,7 +38,7 @@ def main():
         jax.block_until_ready(rt._film)
 
     times = []
-    iters = min(TIMED, max(1, SPP - WARMUP))
+    iters = min(TIMED, max(1, SPP // SPI - WARMUP))
     for _ in range(iters):
         t0 = time.time()
         rt.step()

@@ -73,6 +73,16 @@ def _render_iteration_impl(scene: SceneData, settings: RenderSettings,
     eval_texture = make_texture_evaluator(settings.texture_descs,
                                           scene.textures)
 
+    if settings.technique in ("path", "pt") and not settings.remat:
+        # Persistent-lane progressive path: all spi samples in one
+        # regenerating wavefront (keeps lanes busy through the RR tail).
+        from ..techniques.path import path_trace_progressive
+        color = path_trace_progressive(scene, settings, x, y, iteration,
+                                       frame, eval_texture)
+        inv = 1.0 / settings.spi
+        return jnp.stack([color.r.reshape(h, w), color.g.reshape(h, w),
+                          color.b.reshape(h, w)], axis=-1) * inv
+
     from ..core.sampler import sample_pixel_offsets
     for s in range(settings.spi):
         state = rnglib.seed(jnp.uint32(s), iteration.astype(jnp.uint32),

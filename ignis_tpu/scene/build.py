@@ -829,6 +829,37 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
 
     # --- pack tables -------------------------------------------------------
     n_tris = len(tri_v0)
+
+    # BVH for large scenes (reorders the soup so leaves are contiguous;
+    # area-light tri indices are remapped below via inv permutation)
+    bvh_arrays = None
+    BVH_THRESHOLD = 4096
+    if n_tris >= BVH_THRESHOLD:
+        from ..bvh.builder import build_bvh8
+        _v0 = np.asarray(tri_v0, np.float32).reshape(-1, 3)
+        _e1 = np.asarray(tri_e1, np.float32).reshape(-1, 3)
+        _e2 = np.asarray(tri_e2, np.float32).reshape(-1, 3)
+        bvh_np = build_bvh8(_v0, _e1, _e2)
+        perm = bvh_np.prim_order
+        inv_perm = np.empty_like(perm)
+        inv_perm[perm] = np.arange(len(perm), dtype=np.int32)
+        tri_v0 = list(_v0[perm])
+        tri_e1 = list(_e1[perm])
+        tri_e2 = list(_e2[perm])
+        for k in range(3):
+            arr = np.asarray(tri_n[k], np.float32).reshape(-1, 3)[perm]
+            tri_n[k][:] = list(arr)
+            arr2 = np.asarray(tri_uv[k], np.float32).reshape(-1, 2)[perm]
+            tri_uv[k][:] = list(arr2)
+        tri_ent = list(np.asarray(tri_ent, np.int32)[perm])
+        tri_area = list(np.asarray(tri_area, np.float32)[perm])
+        tri_shadow = list(np.asarray(tri_shadow, bool)[perm])
+        area_tris = [int(inv_perm[i]) for i in area_tris]
+        from ..ops.bvh import BVHArrays
+        bvh_arrays = BVHArrays(*[jnp.asarray(a) for a in (
+            bvh_np.cmin_x, bvh_np.cmin_y, bvh_np.cmin_z,
+            bvh_np.cmax_x, bvh_np.cmax_y, bvh_np.cmax_z, bvh_np.child)])
+
     pad = (-n_tris) % TRI_CHUNK
     if n_tris == 0:
         pad = TRI_CHUNK
@@ -965,6 +996,7 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
                      sph_attr=sph_attr, entities=entities, materials=materials,
                      lights=lights, envmap=envmap, camera=camera, media=media,
                      textures=tuple(texreg.datas),
+                     bvh=bvh_arrays,
                      scene_radius=jnp.float32(radius),
                      scene_center=Vec3(*[jnp.float32(v) for v in center]))
 

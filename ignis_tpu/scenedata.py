@@ -141,6 +141,7 @@ class SceneData(NamedTuple):
     camera: CameraData
     media: "Media"
     textures: Optional[tuple] = None  # tuple of texture pytrees (models/texture.py)
+    bvh: Optional[tuple] = None       # ops/bvh.py BVHArrays for big scenes
     scene_radius: jnp.ndarray = jnp.float32(1.0)
     scene_center: Vec3 = Vec3(jnp.float32(0), jnp.float32(0), jnp.float32(0))
 

@@ -47,15 +47,24 @@ class Surface(NamedTuple):
 
 
 def trace_scene(scene: SceneData, rays: Rays) -> Hit:
-    h = isect.intersect_tris_dense(rays, scene.tris)
+    if scene.bvh is not None:
+        from ..ops.bvh import intersect_bvh
+        h = intersect_bvh(rays, scene.tris, scene.bvh)
+    else:
+        h = isect.intersect_tris_dense(rays, scene.tris)
     hs = isect.intersect_spheres_dense(rays, scene.spheres,
                                        scene.tris.v0.x.shape[0])
     return isect.merge_hits(h, hs)
 
 
 def occluded_scene(scene: SceneData, rays: Rays) -> jnp.ndarray:
-    occ = isect.occluded_tris_dense(rays, scene.tris,
-                                    scene.tri_attr.shadow_visible)
+    if scene.bvh is not None:
+        from ..ops.bvh import intersect_bvh
+        occ = intersect_bvh(rays, scene.tris, scene.bvh, any_hit=True,
+                            shadow_visible=scene.tri_attr.shadow_visible)
+    else:
+        occ = isect.occluded_tris_dense(rays, scene.tris,
+                                        scene.tri_attr.shadow_visible)
     n_tri = scene.tris.v0.x.shape[0]
     if scene.spheres.radius.shape[0] > 0:
         h = isect.intersect_spheres_dense(rays, scene.spheres, 0)
@@ -175,6 +184,8 @@ class PathState(NamedTuple):
     eta: jnp.ndarray
     alive: jnp.ndarray
     result: Color
+    depth: jnp.ndarray   # current path depth (camera segment = 1)
+    sample: jnp.ndarray  # per-lane sample counter (regeneration)
 
 
 def _handle_color(c: Color, settings: RenderSettings) -> Color:
@@ -190,8 +201,14 @@ def _cadd_where(m, acc: Color, c: Color) -> Color:
 
 
 def make_bounce(scene: SceneData, settings: RenderSettings, n,
-                eval_texture=None):
-    """Build the per-bounce wavefront step (exposed for debugging/replay)."""
+                eval_texture=None, regen=None):
+    """Build the per-bounce wavefront step (exposed for debugging/replay).
+
+    With `regen` = (x, y, iteration, frame), dead lanes immediately restart
+    the next sample of their pixel — a persistent-lane wavefront (the TPU
+    analog of the reference's in-flight ray regeneration,
+    mapping_cpu.art:751). Keeps every VPU lane busy so total iterations track
+    mean path length instead of spi * max_depth."""
     n_lights = settings.n_lights
     sel_pdf_const = 1.0 / max(n_lights, 1)
 
@@ -256,7 +273,7 @@ def make_bounce(scene: SceneData, settings: RenderSettings, n,
         result = _cadd_where(emit_ok, result, c_emit)
 
         rng = state.rng
-        depth = b + 1  # reference payload depth starts at 1
+        depth = state.depth  # camera segment = 1 (reference payload depth)
 
         # ---- NEE (on_shadow, pathtracer.art:52) ---------------------------
         if settings.enable_nee and n_lights > 0:
@@ -313,7 +330,43 @@ def make_bounce(scene: SceneData, settings: RenderSettings, n,
             eta=jnp.where(cont, state.eta * bs.eta, state.eta),
             alive=cont,
             result=result,
+            depth=state.depth + 1,
+            sample=state.sample,
         )
+
+        if regen is not None:
+            x, y, iteration, frame = regen
+            died = state.alive & ~cont
+            has_more = state.sample + 1 < settings.spi
+            do_regen = died & has_more
+            new_sample = jnp.where(do_regen, state.sample + 1, state.sample)
+            fresh = rnglib.seed(new_sample.astype(jnp.uint32),
+                                iteration.astype(jnp.uint32),
+                                frame.astype(jnp.uint32),
+                                x.astype(jnp.uint32), y.astype(jnp.uint32),
+                                jnp.uint32(settings.seed))
+            from ..core.sampler import sample_pixel_offsets
+            sample_idx = iteration.astype(jnp.uint32) \
+                * jnp.uint32(settings.spi) + new_sample.astype(jnp.uint32)
+            fresh2, (rx, ry) = sample_pixel_offsets(settings.pixel_sampler,
+                                                    fresh, sample_idx, x, y)
+            from ..models import camera as cameralib
+            cam_rays = cameralib.generate_rays(scene.camera, settings, x, y,
+                                               rx, ry, rng_state=fresh2)
+            new_state = PathState(
+                org=vselect(do_regen, cam_rays.org, new_state.org),
+                dir=vselect(do_regen, cam_rays.dir, new_state.dir),
+                tmin=jnp.where(do_regen, cam_rays.tmin, new_state.tmin),
+                tmax=jnp.where(do_regen, cam_rays.tmax, new_state.tmax),
+                rng=jnp.where(do_regen, fresh2, new_state.rng),
+                contrib=cselect(do_regen, white(n), new_state.contrib),
+                inv_pdf=jnp.where(do_regen, 0.0, new_state.inv_pdf),
+                eta=jnp.where(do_regen, 1.0, new_state.eta),
+                alive=cont | do_regen,
+                result=result,
+                depth=jnp.where(do_regen, 1, new_state.depth),
+                sample=new_sample,
+            )
         return new_state, None
 
     return bounce
@@ -326,7 +379,42 @@ def initial_state(rays: Rays, rng_state) -> PathState:
         rng=rng_state,
         contrib=white(n), inv_pdf=jnp.zeros(n), eta=jnp.ones(n),
         alive=jnp.ones(n, bool), result=black(n),
+        depth=jnp.ones(n, jnp.int32), sample=jnp.zeros(n, jnp.int32),
     )
+
+
+def path_trace_progressive(scene: SceneData, settings: RenderSettings,
+                           x, y, iteration, frame, eval_texture=None) -> Color:
+    """Persistent-lane progressive render: one lane per pixel traces its
+    settings.spi samples back-to-back with immediate regeneration. Returns
+    per-lane radiance summed over all samples (divide by spi for the mean)."""
+    from ..core.sampler import sample_pixel_offsets
+    from ..models import camera as cameralib
+    n = x.shape
+    state0 = rnglib.seed(jnp.uint32(0), iteration.astype(jnp.uint32),
+                         frame.astype(jnp.uint32), x.astype(jnp.uint32),
+                         y.astype(jnp.uint32), jnp.uint32(settings.seed))
+    sample_idx = iteration.astype(jnp.uint32) * jnp.uint32(settings.spi)
+    state0, (rx, ry) = sample_pixel_offsets(settings.pixel_sampler, state0,
+                                            sample_idx, x, y)
+    rays = cameralib.generate_rays(scene.camera, settings, x, y, rx, ry,
+                                   rng_state=state0)
+    init = initial_state(rays, state0)
+    bounce = make_bounce(scene, settings, n, eval_texture,
+                         regen=(x, y, iteration, frame))
+    max_iters = settings.spi * settings.max_depth
+
+    def cond(carry):
+        it, st = carry
+        return (it < max_iters) & jnp.any(st.alive)
+
+    def body(carry):
+        it, st = carry
+        st, _ = bounce(st, it)
+        return (it + 1, st)
+
+    _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
+    return final.result
 
 
 def path_trace(scene: SceneData, settings: RenderSettings, rays: Rays,

@@ -293,10 +293,40 @@ def env_pdf_direct(scene: SceneData, lp: LightParams, ray_dir: Vec3):
 
 
 # ---------------------------------------------------------------------------
-# Uniform light selection
+# Light selection (uniform + flux-CDF; light_selector.art)
 # ---------------------------------------------------------------------------
 
 def select_uniform(n_lights: int, u):
     idx = jnp.clip((u * n_lights).astype(jnp.int32), 0, max(n_lights - 1, 0))
     pdf = jnp.full(jnp.shape(u), 1.0 / max(n_lights, 1), jnp.float32)
     return idx, pdf
+
+
+def select_cdf(lights: Lights, n_lights: int, u):
+    """Flux-weighted selection over finite lights via the select_cdf table
+    (build-side estimated powers, LoaderLight.cpp:468). Falls back to
+    uniform when the table is absent."""
+    cdf = lights.select_cdf
+    n = cdf.shape[0]
+    idx = jnp.clip(jnp.searchsorted(cdf, u, side="right"), 0, n - 1)
+    lo = jnp.where(idx > 0, cdf[jnp.maximum(idx - 1, 0)], 0.0)
+    pdf = cdf[idx] - lo
+    return idx, pdf
+
+
+def select_light(settings, lights: Lights, u):
+    if getattr(settings, "light_selector", "uniform") == "cdf" \
+            and lights.select_cdf.shape[0] == settings.n_lights:
+        return select_cdf(lights, settings.n_lights, u)
+    return select_uniform(settings.n_lights, u)
+
+
+def selector_pdf(settings, lights: Lights, light_row):
+    """Selection pdf of a specific light row (for MIS on emission hits)."""
+    if getattr(settings, "light_selector", "uniform") == "cdf" \
+            and lights.select_cdf.shape[0] == settings.n_lights:
+        idx = jnp.clip(light_row, 0, settings.n_lights - 1)
+        lo = jnp.where(idx > 0, lights.select_cdf[jnp.maximum(idx - 1, 0)], 0.0)
+        return lights.select_cdf[idx] - lo
+    return jnp.full(jnp.shape(light_row), 1.0 / max(settings.n_lights, 1),
+                    jnp.float32)

@@ -937,7 +937,29 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         a = np.asarray([r[key] for r in l_rows], np.float32)
         return a
 
+    # Flux-weighted selection CDF (LoaderLight::generateLightSelectionCDF)
+    if all_points:
+        _pts = np.vstack(all_points)
+        _scene_r = float(np.linalg.norm(_pts.max(0) - _pts.min(0)) * 0.5) or 1.0
+    else:
+        _scene_r = 1.0
+
+    def light_flux(r):
+        kind = r["kind"]
+        mi = float(np.mean(r["intensity"]))
+        if kind == int(LightKind.POINT):
+            return 4 * np.pi * mi
+        if kind == int(LightKind.SPOT):
+            return 2 * np.pi * (1 - r["p0"]) * mi
+        if kind == int(LightKind.AREA):
+            return np.pi * r["p0"] * mi
+        return np.pi * _scene_r * _scene_r * max(mi, 1e-3)
+
+    fluxes = np.asarray([max(light_flux(r), 1e-8) for r in l_rows], np.float64)
+    select_cdf = np.cumsum(fluxes) / fluxes.sum()
+
     lights = Lights(
+        select_cdf=jnp.asarray(select_cdf.astype(np.float32)),
         kind=jnp.asarray(lcol("kind").astype(np.int32)),
         pos=soa3(lcol("pos")), dir=soa3(lcol("dir")),
         intensity=Color(*[jnp.asarray(lcol("intensity")[:, i]) for i in range(3)]),
@@ -1007,6 +1029,11 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         spi=int(overrides.get("spi", 1)), seed=int(overrides.get("seed", 0)),
         pixel_sampler=str(overrides.get("pixel_sampler", "uniform")),
         camera_type=cam_type, fish_mode=fish_mode,
+        light_selector={"hierarchy": "cdf"}.get(
+            (tech.get_string("light_selector", "uniform") or "uniform")
+            if tech else "uniform",
+            (tech.get_string("light_selector", "uniform") or "uniform")
+            if tech else "uniform"),
         infinite_light_rows=infinite_rows, n_lights=n_lights,
         texture_descs=tuple(texreg.descs),
         medium_exprs=tuple(med_exprs),

@@ -108,6 +108,8 @@ class Lights(NamedTuple):
     # Area-light face sampling: concatenated per-light face CDFs
     area_tris: jnp.ndarray  # [AT] i32 global tri index
     area_cdf: jnp.ndarray   # [AT] f32 inclusive CDF within each light segment
+    # flux-weighted light-selection CDF over all lights ([0] if unused)
+    select_cdf: jnp.ndarray = jnp.zeros((0,), jnp.float32)
 
 
 class EnvMap(NamedTuple):

@@ -225,9 +225,11 @@ def make_bounce(scene: SceneData, settings: RenderSettings, n,
                                        jnp.full(n, lid, jnp.int32))
             emit = lightlib.env_emission(scene, lp, state.dir, eval_texture)
             pdf_s = lightlib.env_pdf_direct(scene, lp, state.dir)
+            lsel_pdf = lightlib.selector_pdf(settings, scene.lights,
+                                             jnp.full(n, lid, jnp.int32))
             mis = jnp.where(
                 lp.delta, 0.0,
-                1.0 / (1.0 + state.inv_pdf * sel_pdf_const * pdf_s)
+                1.0 / (1.0 + state.inv_pdf * lsel_pdf * pdf_s)
             ) if settings.enable_nee else jnp.where(lp.delta, 0.0, 1.0)
             c = _handle_color(state.contrib.cmul(emit) * mis, settings)
             result = _cadd_where(miss & ~lp.delta, result, c)
@@ -266,7 +268,9 @@ def make_bounce(scene: SceneData, settings: RenderSettings, n,
         t_safe = jnp.where(emit_ok, hit.t, 1.0)
         cos_safe = jnp.where(emit_ok, cos_l, 1.0)
         pdf_s = pdf_area * t_safe * t_safe / cos_safe
-        mis_e = (1.0 / (1.0 + state.inv_pdf * sel_pdf_const * pdf_s)
+        esel_pdf = lightlib.selector_pdf(settings, scene.lights,
+                                         jnp.clip(light_row, 0, None))
+        mis_e = (1.0 / (1.0 + state.inv_pdf * esel_pdf * pdf_s)
                  if settings.enable_nee else jnp.ones(n))
         c_emit = _handle_color(state.contrib.cmul(lp_hit.intensity) * mis_e,
                                settings)
@@ -278,7 +282,7 @@ def make_bounce(scene: SceneData, settings: RenderSettings, n,
         # ---- NEE (on_shadow, pathtracer.art:52) ---------------------------
         if settings.enable_nee and n_lights > 0:
             rng, (ul, u0, u1) = rnglib.next_f32_n(rng, 3)
-            lsel, sel_pdf = lightlib.select_uniform(n_lights, ul)
+            lsel, sel_pdf = lightlib.select_light(settings, scene.lights, ul)
             lp = lightlib.gather_light(scene.lights, lsel)
             ls = lightlib.sample_direct(scene, lp, surf.point,
                                         surf.is_entering, u0, u1, eval_texture)

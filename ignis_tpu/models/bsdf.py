@@ -357,7 +357,7 @@ def is_all_delta(mat: MatParams) -> jnp.ndarray:
 
 
 def sample_bsdf(mat: MatParams, frame: Frame, is_entering, out_dir: Vec3,
-                u0, u1, u2, present=None) -> BsdfSample:
+                u0, u1, u2, present=None, adjoint=False) -> BsdfSample:
     """Masked-dispatch sample. u0: lobe select; u1, u2: direction.
     `present` statically prunes kinds absent from the scene."""
     shape = mat.p0.shape
@@ -444,6 +444,10 @@ def sample_bsdf(mat: MatParams, frame: Frame, is_entering, out_dir: Vec3,
         d_dir = vselect(thin, vselect(thin_refl, refl_smooth, -wo), d_dir)
         d_w = cselect(thin, cselect(thin_refl, mat.base, mat.extra), d_w)
         d_eta = jnp.where(thin, one, d_eta)
+        if adjoint:
+            # radiance -> importance transport: eta^2 on refraction
+            adj = jnp.where(~choose_refl & ~thin, k_ratio * k_ratio, 1.0)
+            d_w = d_w * adj
         diel_sm = BsdfSample(d_dir, one, d_w, d_eta, true, true)
 
         cos_h_o = dot(h_l, wo)
@@ -465,6 +469,10 @@ def sample_bsdf(mat: MatParams, frame: Frame, is_entering, out_dir: Vec3,
         f_pdf = mpdf * sel_pdf
         dr_eval = _dielectric_rough_eval(mat, is_entering, dr_dir, wo)
         dr_w = dr_eval * safe_div(1.0, f_pdf)
+        if adjoint:
+            dr_w = dr_w * jnp.where((dr_dir.z * cos_o) < 0.0,
+                                    1.0 / jnp.maximum(k_ratio * k_ratio, 1e-6),
+                                    1.0)
         dr_is_trans = (dr_dir.z * cos_o) < 0.0
         dr_eta = jnp.where(dr_is_trans, k_ratio, one)
         # Reject side-switching samples (reflection below horizon /
@@ -590,14 +598,15 @@ class LaneShader:
         b = is_all_delta(self.matB)
         return jnp.where(self.w >= 1.0, b, jnp.where(self.w <= 0.0, a, a & b))
 
-    def sample(self, out_dir: Vec3, u_pick, u0, u1, u2) -> BsdfSample:
+    def sample(self, out_dir: Vec3, u_pick, u0, u1, u2,
+               adjoint=False) -> BsdfSample:
         sA = sample_bsdf(self.matA, self.frame, self.entering, out_dir,
-                         u0, u1, u2, self.present)
+                         u0, u1, u2, self.present, adjoint)
         if self.w is None:
             return sA
         from ..core.vec import clerp
         sB = sample_bsdf(self.matB, self.frame, self.entering, out_dir,
-                         u0, u1, u2, self.present)
+                         u0, u1, u2, self.present, adjoint)
         pick_b = u_pick < self.w
         s = _sel_sample(pick_b, sB, sA)
         # pdf/eval of the *other* child at the sampled direction

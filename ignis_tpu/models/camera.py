@@ -113,3 +113,30 @@ def _fishlens_dir(cam: CameraData, settings: RenderSettings, nx, ny) -> Vec3:
              right.y * dx + cam.up.y * dy + cam.dir.y * cos_t,
              right.z * dx + cam.up.z * dy + cam.dir.z * cos_t)
     return normalize(d)
+
+
+def sample_pixel(cam: CameraData, settings: RenderSettings, point: Vec3):
+    """Project a world point to the image (perspective.art
+    perspective_pos_to_pixel): returns (valid, pixel_linear, dir_to_camera
+    (unnormalized, point->camera), weight)."""
+    right = normalize(cross(cam.dir, cam.up))
+    d = Vec3(point.x - cam.eye.x, point.y - cam.eye.y, point.z - cam.eye.z)
+    ux = right.x * d.x + right.y * d.y + right.z * d.z
+    uy = cam.up.x * d.x + cam.up.y * d.y + cam.up.z * d.z
+    uz = cam.dir.x * d.x + cam.dir.y * d.y + cam.dir.z * d.z
+    nx = ux / (uz * cam.scale.x)
+    ny = uy / (uz * cam.scale.y)
+    valid = (uz > 1e-6) & (nx >= -1) & (nx <= 1) & (ny >= -1) & (ny <= 1)
+    w, h = settings.width, settings.height
+    px = jnp.clip(jnp.floor(w * (nx + 1.0) * 0.5).astype(jnp.int32), 0, w - 1)
+    py = jnp.clip(jnp.floor(h * (1.0 - ny) * 0.5).astype(jnp.int32), 0, h - 1)
+    linear = py * w + px
+    s_dir = Vec3(cam.eye.x - point.x, cam.eye.y - point.y, cam.eye.z - point.z)
+    # Pinhole importance in image-area measure (Veach / SmallVCM form):
+    # We = 1/(A_img * cos^3 theta_cam), with A_img = 4*sx*sy the image-plane
+    # area at unit distance; the w*h pixel count cancels against the
+    # one-light-path-per-pixel-lane normalization done by the session.
+    dlen = jnp.sqrt(jnp.maximum(ux * ux + uy * uy + uz * uz, 1e-24))
+    cos_t = jnp.maximum(uz / dlen, 1e-6)
+    weight = 1.0 / (4.0 * cam.scale.x * cam.scale.y * cos_t * cos_t * cos_t)
+    return valid, linear, s_dir, weight

@@ -153,12 +153,10 @@ def sample_direct(scene: SceneData, lp: LightParams, from_point: Vec3,
     return out
 
 
-def _sample_area_direct(scene: SceneData, lp: LightParams, from_point: Vec3,
-                        from_entering, u0, u1) -> DirectSample:
-    lights = scene.lights
-    # Global CDF trick: area_cdf is per-light-local CDF + light row index,
-    # so the concatenated array is globally sorted and one searchsorted
-    # suffices (see scene/build.py).
+def sample_area_point(scene: SceneData, lp: LightParams, u0, u1):
+    """Uniform-by-area point on an area light -> (pos, face_normal).
+    Tri lights use the global concatenated CDF (build.py); sphere lights
+    sample the surface uniformly."""
     lrow = _area_row_of(scene, lp)
     key = lrow.astype(jnp.float32) + jnp.clip(u0, 0.0, 0.999999)
     n = scene.lights.area_cdf.shape[0]
@@ -169,7 +167,8 @@ def _sample_area_direct(scene: SceneData, lp: LightParams, from_point: Vec3,
     lo = jnp.clip(lo, 0.0, 1.0)
     hi = jnp.clip(scene.lights.area_cdf[pos] - lrow.astype(jnp.float32), 0.0, 1.0)
     seg = hi - lo
-    ur = jnp.where(seg > 0, (jnp.clip(u0, 0.0, 0.999999) - lo) / jnp.where(seg > 0, seg, 1.0), 0.0)
+    ur = jnp.where(seg > 0, (jnp.clip(u0, 0.0, 0.999999) - lo)
+                   / jnp.where(seg > 0, seg, 1.0), 0.0)
 
     tri = scene.lights.area_tris[pos]
     v0 = Vec3(scene.tris.v0.x[tri], scene.tris.v0.y[tri], scene.tris.v0.z[tri])
@@ -178,8 +177,7 @@ def _sample_area_direct(scene: SceneData, lp: LightParams, from_point: Vec3,
     bu, bv = sample_triangle(jnp.clip(ur, 0.0, 1.0), u1)
     p = v0 + e1 * bu + e2 * bv
     fn = cross(e1, e2)
-    fn_len = length(fn)
-    face_n = fn * safe_div(1.0, fn_len)
+    face_n = fn * safe_div(1.0, length(fn))
 
     # Analytic-sphere area emitter (tri_count == 0): uniform surface point.
     is_sphere = lp.tri_count == 0
@@ -187,7 +185,12 @@ def _sample_area_direct(scene: SceneData, lp: LightParams, from_point: Vec3,
     sp = lp.pos + sdir * lp.p2
     p = vselect(is_sphere, sp, p)
     face_n = vselect(is_sphere, sdir, face_n)
+    return p, face_n
 
+
+def _sample_area_direct(scene: SceneData, lp: LightParams, from_point: Vec3,
+                        from_entering, u0, u1) -> DirectSample:
+    p, face_n = sample_area_point(scene, lp, u0, u1)
     to_l = p - from_point
     dist = length(to_l)
     d = to_l * safe_div(1.0, dist)
@@ -330,3 +333,95 @@ def selector_pdf(settings, lights: Lights, light_row):
         return lights.select_cdf[idx] - lo
     return jnp.full(jnp.shape(light_row), 1.0 / max(settings.n_lights, 1),
                     jnp.float32)
+
+
+class EmissionSample(NamedTuple):
+    pos: Vec3
+    dir: Vec3
+    intensity: Color   # divided by (pdf_area * pdf_dir)
+    cos: jnp.ndarray   # cosine at the light
+
+
+def sample_emission(scene: SceneData, lp: LightParams,
+                    u0, u1, u2, u3, eval_texture=None) -> EmissionSample:
+    """Emission sampling for light tracing (light.art sample_emission)."""
+    shape = lp.p0.shape
+    one = jnp.ones(shape, jnp.float32)
+    k = lp.kind
+    radius = scene.scene_radius * 1.01
+    center = scene.scene_center
+
+    # point: uniform sphere
+    sdir, spdf = sample_uniform_sphere(u2, u3)
+    point_s = EmissionSample(lp.pos, sdir,
+                             lp.intensity * safe_div(1.0, spdf), one)
+
+    # spot: uniform cone around axis; weight = eval/(spot_area*pdf)
+    cdirl, cpdf = sample_uniform_cone(u2, u3, lp.p0)
+    sp_frame = make_frame(lp.dir)
+    sp_dir = sp_frame.to_world(cdirl)
+    blend = lp.p1 - lp.p0
+    cosang = dot(sp_dir, lp.dir)
+    tfac = jnp.clip(safe_div(cosang - lp.p0, blend), 0.0, 1.0)
+    sfac = jnp.where(blend <= 1e-6, jnp.where(cosang <= lp.p0, 0.0, 1.0),
+                     tfac * tfac * (3.0 - 2.0 * tfac))
+    srad = jnp.sqrt(jnp.maximum(1.0 - lp.p0 * lp.p0, 1e-9)) \
+        / jnp.maximum(lp.p0, 1e-6)
+    spot_area = PI * srad * srad
+    spot_s = EmissionSample(lp.pos, sp_dir,
+                            lp.intensity * (sfac * safe_div(1.0, spot_area * cpdf)),
+                            cdirl.z)
+
+    # area: CDF face point + cosine hemisphere (tri or sphere)
+    from ..core.warp import sample_cosine_hemisphere, square_to_concentric_disk
+    a_pos, a_n = sample_area_point(scene, lp, u0, u1)
+    a_frame = make_frame(a_n)
+    hdir, hpdf = sample_cosine_hemisphere(u2, u3)
+    a_dir = a_frame.to_world(hdir)
+    # weight = 1 / (area_pdf * cos_pdf) = total_area / cos_pdf (area.art)
+    area_s = EmissionSample(a_pos, a_dir,
+                            lp.intensity * (lp.p0 * safe_div(1.0, hpdf)),
+                            hdir.z)
+
+    # env / sun / directional: direction + disk position on bounding sphere
+    env_dir = -sdir  # inward
+    disk = square_to_concentric_disk(u0, u1)
+    dframe = make_frame(env_dir)
+    dpos_pdf = safe_div(1.0, PI * radius * radius)
+    def boundary_pos(d):
+        off = dframe.to_world(Vec3(disk.x * radius, disk.y * radius,
+                                   jnp.zeros(shape)))
+        return Vec3(center.x - d.x * radius + off.x,
+                    center.y - d.y * radius + off.y,
+                    center.z - d.z * radius + off.z)
+    env_pos = boundary_pos(env_dir)
+    env_s = EmissionSample(env_pos, env_dir,
+                           lp.intensity * safe_div(1.0, spdf * dpos_pdf), one)
+
+    sun_dir_axis = lp.dir  # light -> scene
+    sframe2 = make_frame(sun_dir_axis)
+    scone = sframe2.to_world(cdirl)
+    sun_pos = boundary_pos(scone)
+    sun_s = EmissionSample(sun_pos, scone,
+                           lp.intensity * safe_div(1.0, cpdf * dpos_pdf),
+                           cdirl.z)
+    dirl_pos = boundary_pos(lp.dir)
+    dirl_s = EmissionSample(dirl_pos, lp.dir,
+                            lp.intensity * safe_div(1.0, dpos_pdf), one)
+
+    def sel(kv, s_, cur):
+        m = k == kv
+        return EmissionSample(vselect(m, s_.pos, cur.pos),
+                              vselect(m, s_.dir, cur.dir),
+                              cselect(m, s_.intensity, cur.intensity),
+                              jnp.where(m, s_.cos, cur.cos))
+
+    out = point_s
+    out = sel(LightKind.SPOT, spot_s, out)
+    out = sel(LightKind.AREA, area_s, out)
+    out = sel(LightKind.ENV, env_s, out)
+    out = sel(LightKind.SUN, sun_s, out)
+    out = sel(LightKind.DIRECTIONAL, dirl_s, out)
+    return out
+
+

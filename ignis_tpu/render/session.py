@@ -73,6 +73,14 @@ def _render_iteration_impl(scene: SceneData, settings: RenderSettings,
     eval_texture = make_texture_evaluator(settings.texture_descs,
                                           scene.textures)
 
+    if settings.technique in ("lt", "lighttracer"):
+        from ..techniques.lighttracer import lt_trace_film
+        fr_, fg_, fb_ = lt_trace_film(scene, settings, x, y, iteration, frame,
+                                      eval_texture)
+        inv = 1.0 / settings.spi
+        return jnp.stack([fr_.reshape(h, w), fg_.reshape(h, w),
+                          fb_.reshape(h, w)], axis=-1) * inv
+
     if settings.technique in ("path", "pt") and not settings.remat:
         # Persistent-lane progressive path: all spi samples in one
         # regenerating wavefront (keeps lanes busy through the RR tail).

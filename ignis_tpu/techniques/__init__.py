@@ -25,4 +25,8 @@ def dispatch_technique(name: str):
         return _simple.wireframe_trace
     if name in ("lightvisibility", "camera_check"):
         return _simple.light_visibility_trace
+    if name in ("lt", "lighttracer"):
+        # handled at the session level (splats to film, different signature)
+        from . import lighttracer
+        return lighttracer.lt_trace_film
     raise ValueError(f"Unknown technique '{name}'")

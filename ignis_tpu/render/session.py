@@ -81,6 +81,14 @@ def _render_iteration_impl(scene: SceneData, settings: RenderSettings,
         return jnp.stack([fr_.reshape(h, w), fg_.reshape(h, w),
                           fb_.reshape(h, w)], axis=-1) * inv
 
+    if settings.technique in ("ppm", "photonmapper"):
+        from ..techniques.ppm import ppm_render
+        color = ppm_render(scene, settings, x, y, iteration, frame,
+                           eval_texture)
+        inv = 1.0 / settings.spi
+        return jnp.stack([color.r.reshape(h, w), color.g.reshape(h, w),
+                          color.b.reshape(h, w)], axis=-1) * inv
+
     if settings.technique in ("path", "pt") and not settings.remat:
         # Persistent-lane progressive path: all spi samples in one
         # regenerating wavefront (keeps lanes busy through the RR tail).

@@ -393,8 +393,14 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
 
     tech = scene.technique
     tech_type = tech.plugin_type if tech else "path"
-    max_depth = tech.get_int("max_depth", 64) if tech else 64
-    min_depth = tech.get_int("min_depth", 2) if tech else 2
+    # ppm spells these max_camera_depth/min_camera_depth
+    # (PhotonMappingTechnique.cpp:15-16)
+    max_depth = (tech.get_int("max_depth",
+                              tech.get_int("max_camera_depth", 64))
+                 if tech else 64)
+    min_depth = (tech.get_int("min_depth",
+                              tech.get_int("min_camera_depth", 2))
+                 if tech else 2)
     clamp = tech.get_number("clamp", 0.0) if tech else 0.0
     enable_nee = tech.get_bool("nee", True) if tech else True
 
@@ -1039,7 +1045,13 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         medium_exprs=tuple(med_exprs),
         has_blend=has_blend,
         bsdf_kinds=tuple(sorted({int(r["kind"]) for r in mat_rows})),
-        debug_mode=tech.get_int("mode", 0) if tech else 0)
+        debug_mode=tech.get_int("mode", 0) if tech else 0,
+        # photon mapping (PhotonMappingTechnique.cpp:14-20); the reference
+        # default of 1e6 photons is kept, overridable for tests
+        photon_count=max(100, int(overrides.get(
+            "photons", tech.get_int("photons", 1000000) if tech else 1000000))),
+        max_light_depth=tech.get_int("max_light_depth", 8) if tech else 8,
+        merge_radius=tech.get_number("radius", 0.01) if tech else 0.01)
 
     return BuiltScene(data=data, settings=settings, warnings=warnings)
 

@@ -183,5 +183,11 @@ class RenderSettings:
     medium_exprs: Tuple = ()
     has_blend: bool = False  # scene contains blend/mask BSDFs (dual dispatch)
     pixel_sampler: str = "uniform"  # uniform | mjitt | halton
+    # --- photon mapping (PhotonMappingTechnique.cpp:14-20) ---------------
+    photon_count: int = 100000   # "photons" (reference default 1e6)
+    max_light_depth: int = 8     # "max_light_depth"
+    merge_radius: float = 0.01   # "radius", relative to scene diameter
+    ppm_grid: int = 64           # query-grid resolution per axis
+    ppm_cell_cap: int = 32       # photons gathered per cell (truncation cap)
     # static set of BsdfKind ints present in the scene (dispatch pruning)
     bsdf_kinds: Tuple = None

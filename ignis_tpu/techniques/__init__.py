@@ -10,6 +10,8 @@ from __future__ import annotations
 from . import path as _path
 from . import volpath as _volpath
 from . import simple as _simple
+from . import lighttracer as _lighttracer
+from . import ppm as _ppm
 
 
 def dispatch_technique(name: str):
@@ -29,4 +31,8 @@ def dispatch_technique(name: str):
         # handled at the session level (splats to film, different signature)
         from . import lighttracer
         return lighttracer.lt_trace_film
+    if name in ("ppm", "photonmapper"):
+        # handled at the session level (photon pass + camera pass)
+        from . import ppm
+        return ppm.ppm_render
     raise ValueError(f"Unknown technique '{name}'")

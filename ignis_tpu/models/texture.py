@@ -32,6 +32,7 @@ class TexKind(IntEnum):
     CELLNOISE = 7
     CONSTANT = 8
     PEXPR = 9       # compiled PExpr closure (desc.fn)
+    TRANSFORM = 10  # uv-transform wrapper around desc.inner
 
 
 class WrapMode(IntEnum):
@@ -56,6 +57,7 @@ class TexDesc(NamedTuple):
     wrap_v: int
     filter: int
     fn: object = None
+    inner: int = -1  # wrapped texture id (TRANSFORM)
 
 
 class TexData(NamedTuple):
@@ -66,6 +68,8 @@ class TexData(NamedTuple):
     color1: jnp.ndarray       # [3]
     p0: jnp.ndarray           # scalar param (scale_x / octaves / ...)
     p1: jnp.ndarray
+    p2: jnp.ndarray = jnp.float32(0.0)  # brick gap_x / ...
+    p3: jnp.ndarray = jnp.float32(0.0)  # brick gap_y / ...
 
 
 def make_image_texture(img: np.ndarray, wrap_u=WrapMode.REPEAT,
@@ -81,15 +85,16 @@ def make_image_texture(img: np.ndarray, wrap_u=WrapMode.REPEAT,
 
 
 def make_procedural(kind: TexKind, color0, color1, p0=0.0, p1=0.0,
-                    transform=None):
+                    transform=None, p2=0.0, p3=0.0, inner=-1):
     t = np.eye(2, 3, dtype=np.float32) if transform is None else \
         np.asarray(transform, np.float32)
-    desc = TexDesc(int(kind), 0, 0, 0)
+    desc = TexDesc(int(kind), 0, 0, 0, inner=int(inner))
     data = TexData(image=jnp.zeros((1, 1, 3), jnp.float32),
                    transform=jnp.asarray(t),
                    color0=jnp.asarray(color0, jnp.float32),
                    color1=jnp.asarray(color1, jnp.float32),
-                   p0=jnp.float32(p0), p1=jnp.float32(p1))
+                   p0=jnp.float32(p0), p1=jnp.float32(p1),
+                   p2=jnp.float32(p2), p3=jnp.float32(p3))
     return desc, data
 
 
@@ -209,18 +214,51 @@ def _eval_noiselike(desc: TexDesc, tex: TexData, u, v) -> Color:
                    for i in range(3)])
 
 
+def _eval_brick(tex: TexData, u, v) -> Color:
+    """brick.art node_brick: color0 = mortar, color1 = brick interior;
+    odd rows shifted by half a brick."""
+    tu = tex.transform[0, 0] * u + tex.transform[0, 1] * v + tex.transform[0, 2]
+    tv = tex.transform[1, 0] * u + tex.transform[1, 1] * v + tex.transform[1, 2]
+    su = tu * tex.p0
+    sv = tv * tex.p1
+    odd = jnp.mod(sv * 0.5, 1.0) > 0.5
+    x = jnp.mod(jnp.where(odd, su + 0.5, su), 1.0)
+    y = jnp.mod(sv, 1.0)
+    inside = ((x <= 1.0 - tex.p2) & (y <= 1.0 - tex.p3)).astype(jnp.float32)
+    return Color(*[tex.color0[i] + (tex.color1[i] - tex.color0[i]) * inside
+                   for i in range(3)])
+
+
 def _eval_one(desc: TexDesc, tex: TexData, ctx) -> Color:
     u, v = ctx.uv
     if desc.kind == TexKind.IMAGE:
         return _eval_image(desc, tex, u, v)
     if desc.kind == TexKind.CHECKERBOARD:
         return _eval_checkerboard(tex, u, v)
+    if desc.kind == TexKind.BRICK:
+        return _eval_brick(tex, u, v)
     if desc.kind == TexKind.CONSTANT:
         return Color(*[jnp.broadcast_to(tex.color0[i], u.shape) for i in range(3)])
     if desc.kind == TexKind.PEXPR:
         r, g, b = desc.fn(ctx)
         return Color(r, g, b)
     return _eval_noiselike(desc, tex, u, v)
+
+
+def _eval_resolved(descs, datas, i: int, ctx) -> Color:
+    """Evaluate texture i, following TRANSFORM wrappers (TransformPattern)."""
+    desc, tex = descs[i], datas[i]
+    hops = 0
+    while desc.kind == TexKind.TRANSFORM and desc.inner >= 0 and hops < 8:
+        u, v = ctx.uv
+        tu = (tex.transform[0, 0] * u + tex.transform[0, 1] * v
+              + tex.transform[0, 2])
+        tv = (tex.transform[1, 0] * u + tex.transform[1, 1] * v
+              + tex.transform[1, 2])
+        ctx = ctx._replace(uv=(tu, tv))
+        desc, tex = descs[desc.inner], datas[desc.inner]
+        hops += 1
+    return _eval_one(desc, tex, ctx)
 
 
 def make_shade_ctx(uv: Vec2, point=None, normal=None, face_normal=None,
@@ -269,14 +307,13 @@ def make_texture_evaluator(descs: Tuple[TexDesc, ...], datas):
             ctx = ctx._replace(textures=lambda tid, uv: _nested(tid, uv))
 
         def _nested(tid, uvt):
-            d, t = descs[tid], datas[tid]
-            c = _eval_one(d, t, ctx._replace(uv=uvt))
+            c = _eval_resolved(descs, datas, tid, ctx._replace(uv=uvt))
             return (c.r, c.g, c.b)
 
         z = jnp.zeros(tex_id.shape, jnp.float32)
         out = Color(z, z, z)
-        for i, (desc, tex) in enumerate(zip(descs, datas)):
-            c = _eval_one(desc, tex, ctx)
+        for i in range(len(descs)):
+            c = _eval_resolved(descs, datas, i, ctx)
             out = cselect(tex_id == i, c, out)
         return out
 

@@ -56,6 +56,40 @@ def render_iteration(scene: SceneData, settings: RenderSettings,
     return _compiled_iteration(settings)(scene, iteration, frame)
 
 
+@functools.lru_cache(maxsize=16)
+def _compiled_aept_learn(settings: RenderSettings):
+    def fn(scene, iteration, frame):
+        from ..models.texture import make_texture_evaluator
+        from ..techniques import aept
+        w, h = settings.width, settings.height
+        x = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :],
+                             (h, w)).reshape(-1)
+        y = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None],
+                             (h, w)).reshape(-1)
+        ev = make_texture_evaluator(settings.texture_descs, scene.textures)
+        return aept.learn_trace(scene, settings, x, y, iteration, frame, ev)
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_aept_sample(settings: RenderSettings):
+    def fn(scene, iteration, frame, guiding):
+        from ..models.texture import make_texture_evaluator
+        from ..techniques import aept
+        w, h = settings.width, settings.height
+        x = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :],
+                             (h, w)).reshape(-1)
+        y = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None],
+                             (h, w)).reshape(-1)
+        ev = make_texture_evaluator(settings.texture_descs, scene.textures)
+        color = aept.sample_trace(scene, settings, x, y, iteration, frame,
+                                  guiding, ev)
+        inv = 1.0 / settings.spi
+        return jnp.stack([color.r.reshape(h, w), color.g.reshape(h, w),
+                          color.b.reshape(h, w)], axis=-1) * inv
+    return jax.jit(fn)
+
+
 def _render_iteration_impl(scene: SceneData, settings: RenderSettings,
                            iteration, frame):
     """Render one iteration (settings.spi samples/pixel); returns [h, w, 3]
@@ -172,9 +206,12 @@ class Runtime:
     def step(self):
         section = "Iteration" if self._iteration > 0 else "Iteration+Compile"
         with self.stats.section(section):
-            img = render_iteration(self.scene, self.settings,
-                                   jnp.uint32(self._iteration),
-                                   jnp.uint32(self._frame))
+            if self.settings.technique in ("aept", "adaptive_env"):
+                img = self._step_aept()
+            else:
+                img = render_iteration(self.scene, self.settings,
+                                       jnp.uint32(self._iteration),
+                                       jnp.uint32(self._frame))
             if self._film is None:
                 self._film = img
             else:
@@ -187,10 +224,29 @@ class Runtime:
             * self.settings.spi)
         return self
 
+    def _step_aept(self):
+        """Adaptive env sampling: the first step runs the learning
+        iterations (framebuffer locked, AdaptiveEnvPathTechnique.cpp:62) and
+        builds the guiding CDFs; every step renders with guiding."""
+        from ..techniques import aept
+        if getattr(self, "_aept_guiding", None) is None:
+            learn = _compiled_aept_learn(self.settings)
+            hs = hc = None
+            for it in range(self.settings.learning_iterations):
+                s, c = learn(self.scene, jnp.uint32(it),
+                             jnp.uint32(self._frame))
+                hs = s if hs is None else hs + s
+                hc = c if hc is None else hc + c
+            self._aept_guiding = jax.jit(aept.build_guiding)(hs, hc)
+        return _compiled_aept_sample(self.settings)(
+            self.scene, jnp.uint32(self._iteration), jnp.uint32(self._frame),
+            self._aept_guiding)
+
     def reset(self):
         self._film = None
         self._iteration = 0
         self._sample_count = 0
+        self._aept_guiding = None
 
     def inc_frame(self):
         self._frame += 1

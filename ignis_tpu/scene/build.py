@@ -193,6 +193,26 @@ def _shape_to_mesh(obj: SceneObject, warnings: List[str]) -> Optional[meshlib.Tr
                               p.get_vec3("normal", (0, 0, 1)),
                               p.get_number("radius", 1.0),
                               p.get_int("sections", 32))
+    elif t == "gauss":
+        m = meshlib.make_radial_gaussian(
+            p.get_vec3("origin"),
+            np.asarray(p.get_vec3("normal", (0, 0, 1)), np.float64)
+            * p.get_number("height", 1.0),
+            p.get_number("sigma", 1.0), p.get_number("radius_scale", 1.0),
+            p.get_int("sections", 32), p.get_int("slices", 16))
+    elif t == "gauss_lobe":
+        st = p.get_number("sigma_theta", 1.0)
+        sp = p.get_number("sigma_phi", 1.0)
+        an = p.get_number("anisotropy", 0.0)
+        cov = [[st * st, an * st * sp], [an * st * sp, sp * sp]]
+        m = meshlib.make_gaussian_lobe(
+            p.get_vec3("origin"), p.get_vec3("direction", (0, 0, 1)),
+            p.get_vec3("x_axis", (1, 0, 0)), p.get_vec3("y_axis", (0, 1, 0)),
+            cov, p.get_int("theta_size", 64), p.get_int("phi_size", 128),
+            p.get_number("scale", 1.0))
+    elif t == "mitsuba":
+        m = meshlib.load_mts_serialized(p.path("filename"),
+                                        p.get_int("shape_index", 0))
     elif t in ("obj",):
         m = meshlib.load_obj(p.path("filename"), p.get_int("shape_index", -1))
     elif t in ("ply",):
@@ -239,7 +259,8 @@ def _bsdf_row(obj: SceneObject, texreg: "TextureRegistry",
                extra2=np.zeros(3), p0=0.0, p1=0.0, p2=0.0, p3=0.0,
                q0=0.0, q1=0.0, q2=0.0, q3=0.0, q4=0.0, q5=0.0,
                q6=0.0, q7=0.0, q8=0.0,
-               base_tex=-1, extra_tex=-1, p0_tex=-1, p1_tex=-1)
+               base_tex=-1, extra_tex=-1, p0_tex=-1, p1_tex=-1,
+               bump_kind=0, bump_tex=-1, bump_strength=1.0)
 
     def col(key, default, slot="base", tex_slot="base_tex"):
         v = obj.get_color(key, default)
@@ -364,12 +385,20 @@ def _bsdf_row(obj: SceneObject, texreg: "TextureRegistry",
         row["kind"] = int(BsdfKind.DIFFUSE)
         row["_alias"] = obj.get_string("bsdf")
     elif t in ("transform", "map", "normalmap", "bumpmap"):
-        # normal/bump mapping wrapper: alias inner for shading; the normal
-        # perturbation itself lands with texture-driven shading normals
-        warnings.append(f"BSDF '{obj.name}': {t} normal perturbation TODO; "
-                        "using inner BSDF")
+        # normal/bump mapping wrapper (MapBSDF.cpp): shading uses the inner
+        # BSDF's row (alias), with the shading normal perturbed per hit
+        # from the map texture (applied in path.apply_normal_map)
         row["kind"] = int(BsdfKind.DIFFUSE)
         row["_alias"] = obj.get_string("bsdf")
+        is_bump = t == "bumpmap"
+        row["bump_kind"] = 2 if is_bump else 1
+        m = obj.get("map", obj.get("texture"))
+        if isinstance(m, str):
+            row["bump_tex"] = texreg.resolve_color(
+                m, f"BSDF '{obj.name}' map")
+        else:
+            row["bump_kind"] = 0  # constant map = no perturbation
+        row["bump_strength"] = obj.get_number("strength", 1.0)
     elif t in ("transparent", "ignore"):
         row["kind"] = int(BsdfKind.PASSTHROUGH)
     else:
@@ -402,7 +431,9 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
                               tech.get_int("min_camera_depth", 2))
                  if tech else 2)
     clamp = tech.get_number("clamp", 0.0) if tech else 0.0
-    enable_nee = tech.get_bool("nee", True) if tech else True
+    # aept defaults NEE off (AdaptiveEnvPathTechnique.cpp:18)
+    nee_default = tech_type not in ("aept", "adaptive_env")
+    enable_nee = tech.get_bool("nee", nee_default) if tech else True
 
     cam = scene.camera
     cam_type = cam.plugin_type if cam else "perspective"
@@ -481,6 +512,31 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
                     _as_color_const(obj.get("color0"), (0, 0, 0)),
                     _as_color_const(obj.get("color1"), (1, 1, 1)),
                     obj.get_number("scale", 20.0))
+            elif t == "brick":
+                # BrickPattern.cpp defaults: scale (3,6), gap (0.05,0.1)
+                d, a = make_procedural(
+                    TexKind.BRICK,
+                    _as_color_const(obj.get("color0"), (0, 0, 0)),
+                    _as_color_const(obj.get("color1"), (1, 1, 1)),
+                    obj.get_number("scale_x", 3.0),
+                    obj.get_number("scale_y", 6.0),
+                    obj.get_transform()[:2, (0, 1, 3)],
+                    obj.get_number("gap_x", 0.05),
+                    obj.get_number("gap_y", 0.1))
+            elif t == "transform":
+                inner_name = obj.get_string("texture", "")
+                inner_id = name_to_tex.get(inner_name, -1)
+                if inner_id < 0:
+                    warnings.append(f"Texture '{name}': transform of unknown "
+                                    f"texture '{inner_name}' (define it "
+                                    "first); using white")
+                    d, a = make_procedural(TexKind.CONSTANT, (1, 1, 1),
+                                           (1, 1, 1))
+                else:
+                    d, a = make_procedural(
+                        TexKind.TRANSFORM, (0, 0, 0), (1, 1, 1),
+                        transform=obj.get_transform()[:2, (0, 1, 3)],
+                        inner=inner_id)
             elif t in ("constant",):
                 d, a = make_procedural(TexKind.CONSTANT,
                                        _as_color_const(obj.get("color"), (1, 1, 1)),
@@ -526,6 +582,9 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
                 keep_kind_alias = dict(mat_rows[inner])
                 keep_kind_alias.pop("_children", None)
                 keep_kind_alias.pop("_alias", None)
+                # the wrapper's own normal perturbation survives the alias
+                for k in ("bump_kind", "bump_tex", "bump_strength"):
+                    keep_kind_alias.pop(k, None)
                 mat_rows[i].update(keep_kind_alias)
             else:
                 warnings.append("twosided/map: unknown inner bsdf")
@@ -931,6 +990,9 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         extra_tex=jnp.asarray(np.asarray([r["extra_tex"] for r in mat_rows], np.int32)),
         p0_tex=jnp.asarray(np.asarray([r["p0_tex"] for r in mat_rows], np.int32)),
         p1_tex=jnp.asarray(np.asarray([r["p1_tex"] for r in mat_rows], np.int32)),
+        bump_kind=jnp.asarray(np.asarray([r["bump_kind"] for r in mat_rows], np.int32)),
+        bump_tex=jnp.asarray(np.asarray([r["bump_tex"] for r in mat_rows], np.int32)),
+        bump_strength=jnp.asarray(np.asarray([r["bump_strength"] for r in mat_rows], np.float32)),
     )
 
     if not l_rows:
@@ -1044,6 +1106,8 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         texture_descs=tuple(texreg.descs),
         medium_exprs=tuple(med_exprs),
         has_blend=has_blend,
+        has_bump=any(r["bump_kind"] != 0 and r["bump_tex"] >= 0
+                     for r in mat_rows),
         bsdf_kinds=tuple(sorted({int(r["kind"]) for r in mat_rows})),
         debug_mode=tech.get_int("mode", 0) if tech else 0,
         # photon mapping (PhotonMappingTechnique.cpp:14-20); the reference
@@ -1051,7 +1115,9 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         photon_count=max(100, int(overrides.get(
             "photons", tech.get_int("photons", 1000000) if tech else 1000000))),
         max_light_depth=tech.get_int("max_light_depth", 8) if tech else 8,
-        merge_radius=tech.get_number("radius", 0.01) if tech else 0.01)
+        merge_radius=tech.get_number("radius", 0.01) if tech else 0.01,
+        learning_iterations=max(
+            1, tech.get_int("learning_iterations", 1)) if tech else 1)
 
     return BuiltScene(data=data, settings=settings, warnings=warnings)
 

@@ -552,4 +552,197 @@ def load_mesh_file(path) -> TriMesh:
         return load_ply(path)
     if suffix == ".obj":
         return load_obj(path)
+    if suffix == ".serialized" or suffix == ".mts":
+        return load_mts_serialized(path)
     raise ValueError(f"Unsupported mesh format: {path}")
+
+
+# ---------------------------------------------------------------------------
+# Analytic gaussian shapes (reference TriMesh.cpp:1131 MakeRadialGaussian,
+# :1187 MakeGaussianLobe)
+# ---------------------------------------------------------------------------
+
+def make_radial_gaussian(origin, direction, sigma=1.0, radius_scale=1.0,
+                         sections=32, slices=16) -> TriMesh:
+    """Surface-of-revolution gaussian bump: rings at normalized radius
+    r = 1 - i/slices lifted by g(r) = exp(-r^2/(2 sigma^2))/(2 pi sigma),
+    shifted so the rim (r=1) sits on the base plane."""
+    sections = max(3, int(sections))
+    slices = max(2, int(slices))
+    origin = np.asarray(origin, np.float64)
+    direction = np.asarray(direction, np.float64)
+    normal = direction / max(np.linalg.norm(direction), 1e-12)
+    nx, ny = _tangent_frame(normal)
+
+    def gauss(r):
+        return math.exp(-(r * r) / (2.0 * sigma * sigma)) / (sigma * 2.0 * np.pi)
+
+    defect = direction * gauss(1.0)
+    ang = 2.0 * np.pi * np.arange(sections) / sections
+    ring_dirs = np.outer(np.cos(ang), nx) + np.outer(np.sin(ang), ny)  # [S,3]
+
+    vs = [origin]  # bottom-disk center
+    uv = [[0.0, 0.0]]
+    faces = []
+    # ring 0 = bottom rim (on the base plane), rings 1..slices-1 rise
+    for i in range(slices):
+        r = 1.0 - i / slices
+        center = origin + direction * gauss(r) - defect
+        for k in range(sections):
+            d = ring_dirs[k]
+            vs.append(center + radius_scale * r * d)
+            uv.append([0.5 * (math.cos(ang[k]) + 1), 0.5 * (math.sin(ang[k]) + 1)])
+    # bottom cap
+    for k in range(sections):
+        c, nc = k + 1, (k + 1) % sections + 1
+        faces.append((0, c, nc))
+    # side quads between consecutive rings
+    for i in range(1, slices):
+        start = (i - 1) * sections + 1
+        for k in range(sections):
+            c = k + start
+            nc = (k + 1) % sections + start
+            faces += [(c, c + sections, nc), (c + sections, nc + sections, nc)]
+    # peak
+    peak = origin + direction * gauss(0.0) - defect
+    tp = len(vs)
+    vs.append(peak)
+    uv.append([0.0, 0.0])
+    start = (slices - 1) * sections + 1
+    for k in range(sections):
+        c = k + start
+        nc = (k + 1) % sections + start
+        faces.append((c, tp, nc))
+    mesh = TriMesh(np.asarray(vs, np.float32),
+                   np.asarray(faces, np.int32), None,
+                   np.asarray(uv, np.float32))
+    mesh.compute_vertex_normals()
+    return mesh
+
+
+def make_gaussian_lobe(origin, direction, x_axis, y_axis, cov,
+                       theta_size=64, phi_size=128, scale=1.0) -> TriMesh:
+    """Spherical plot of an anisotropic gaussian over (theta, phi): each grid
+    direction u(theta,phi) is scaled by the 2D gaussian density centred at
+    `direction` (in the x/y-axis tangent frame)."""
+    theta_size = max(8, int(theta_size))
+    phi_size = max(8, int(phi_size))
+    origin = np.asarray(origin, np.float64)
+    nx = np.asarray(x_axis, np.float64)
+    ny = np.asarray(y_axis, np.float64)
+    nx = nx / max(np.linalg.norm(nx), 1e-12)
+    ny = ny / max(np.linalg.norm(ny), 1e-12)
+    n = np.cross(nx, ny)
+    n = n / max(np.linalg.norm(n), 1e-12)
+    cov = np.asarray(cov, np.float64).reshape(2, 2)
+    det = abs(np.linalg.det(cov))
+    if det <= 1e-12:
+        return TriMesh(np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+    inv_cov = np.linalg.inv(cov)
+    norm_f = 1.0 / (2.0 * np.pi * math.sqrt(det))
+
+    d = np.asarray(direction, np.float64)
+    d = d / max(np.linalg.norm(d), 1e-12)
+    local = np.array([np.dot(nx, d), np.dot(ny, d), np.dot(n, d)])
+    mean_theta = math.acos(np.clip(local[2], -1.0, 1.0))
+    mean_phi = math.atan2(local[1], local[0])
+
+    thetas = np.pi * np.arange(theta_size + 1) / theta_size          # [0, pi]
+    phis = 2.0 * np.pi * np.arange(phi_size + 1) / phi_size - np.pi  # [-pi, pi]
+    tt, pp = np.meshgrid(thetas, phis)                   # [phi+1, theta+1]
+    a0 = tt - mean_theta
+    a1 = pp - mean_phi
+    quad = (inv_cov[0, 0] * a0 * a0 + (inv_cov[0, 1] + inv_cov[1, 0]) * a0 * a1
+            + inv_cov[1, 1] * a1 * a1)
+    val = norm_f * np.exp(-0.5 * quad) * scale
+    st, ct = np.sin(tt), np.cos(tt)
+    u = (np.outer((st * np.cos(pp)).ravel(), nx)
+         + np.outer((st * np.sin(pp)).ravel(), ny)
+         + np.outer(ct.ravel(), n))
+    verts = (origin[None, :] + u * val.ravel()[:, None]).astype(np.float32)
+
+    w = theta_size + 1
+    jj, ii = np.meshgrid(np.arange(phi_size), np.arange(theta_size),
+                         indexing="ij")
+    i1 = (jj * w + ii).ravel()
+    i2 = ((jj + 1) * w + ii).ravel()
+    faces = np.concatenate([
+        np.stack([i1, i1 + 1, i2 + 1], axis=1),
+        np.stack([i1, i2 + 1, i2], axis=1)], axis=0).astype(np.int32)
+    uvs = np.stack([(tt / np.pi).ravel(), (pp / (2 * np.pi) + 0.5).ravel()],
+                   axis=1).astype(np.float32)
+    mesh = TriMesh(verts, faces, None, uvs)
+    mesh.compute_vertex_normals()
+    return mesh
+
+
+# ---------------------------------------------------------------------------
+# Mitsuba .serialized loader (reference mesh/MtsSerializedFile.cpp)
+# ---------------------------------------------------------------------------
+
+_MTS_VERTEXNORMALS = 0x0001
+_MTS_TEXCOORDS = 0x0002
+_MTS_VERTEXCOLORS = 0x0008
+_MTS_DOUBLE = 0x2000
+
+
+def load_mts_serialized(path, shape_index: int = 0) -> TriMesh:
+    """Mitsuba .serialized mesh: zlib-compressed per-shape chunks with an
+    offset dictionary at the end of file (MtsSerializedFile.cpp:163)."""
+    import struct
+    import zlib
+
+    data = Path(path).read_bytes()
+    ident, version = struct.unpack_from("<HH", data, 0)
+    if ident != 0x041C:
+        raise ValueError(f"{path}: not a Mitsuba serialized file")
+    if version < 3:
+        raise ValueError(f"{path}: unsupported version {version}")
+
+    (shape_count,) = struct.unpack_from("<I", data, len(data) - 4)
+    if shape_index >= shape_count:
+        raise ValueError(f"{path}: shape index {shape_index} out of range "
+                         f"({shape_count} shapes)")
+    osz = 8 if version >= 4 else 4
+    fmt = "<Q" if version >= 4 else "<I"
+    dict_off = len(data) - 4 - osz * shape_count
+    (start,) = struct.unpack_from(fmt, data, dict_off + osz * shape_index)
+    # decompressobj stops at the zlib stream end, so whatever follows this
+    # shape's chunk (next shape or the offset dictionary) is ignored
+    raw = zlib.decompressobj().decompress(data[int(start) + 4:])
+    pos = 0
+
+    def take(n):
+        nonlocal pos
+        out = raw[pos:pos + n]
+        pos += n
+        return out
+
+    (flags,) = struct.unpack("<I", take(4))
+    if version >= 4:  # skip utf8 shape name
+        while raw[pos] != 0:
+            pos += 1
+        pos += 1
+    vcount, tcount = struct.unpack("<QQ", take(16))
+    ft = np.float64 if (flags & _MTS_DOUBLE) else np.float32
+    fs = np.dtype(ft).itemsize
+
+    verts = np.frombuffer(take(3 * fs * vcount), ft).reshape(-1, 3)
+    normals = None
+    if flags & _MTS_VERTEXNORMALS:
+        normals = np.frombuffer(take(3 * fs * vcount), ft).reshape(-1, 3)
+    uvs = None
+    if flags & _MTS_TEXCOORDS:
+        uvs = np.frombuffer(take(2 * fs * vcount), ft).reshape(-1, 2)
+    if flags & _MTS_VERTEXCOLORS:
+        take(3 * fs * vcount)  # ignored, as in the reference
+    it = np.uint64 if vcount > 0xFFFFFFFF else np.uint32
+    isz = np.dtype(it).itemsize
+    idx = np.frombuffer(take(3 * isz * tcount), it).reshape(-1, 3)
+
+    mesh = TriMesh(verts.astype(np.float32), idx.astype(np.int32),
+                   normals.astype(np.float32) if normals is not None else None,
+                   uvs.astype(np.float32) if uvs is not None else None)
+    if normals is None:
+        mesh.compute_vertex_normals()
+    return mesh

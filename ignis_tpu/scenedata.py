@@ -77,6 +77,11 @@ class Materials(NamedTuple):
     extra_tex: jnp.ndarray
     p0_tex: jnp.ndarray
     p1_tex: jnp.ndarray
+    # normal/bump mapping wrapper (reference bsdf/map.art): 0 = none,
+    # 1 = normalmap (tangent-space color), 2 = bumpmap (height derivative)
+    bump_kind: jnp.ndarray = jnp.zeros((0,), jnp.int32)
+    bump_tex: jnp.ndarray = jnp.zeros((0,), jnp.int32)
+    bump_strength: jnp.ndarray = jnp.zeros((0,), jnp.float32)
 
 
 class Lights(NamedTuple):
@@ -182,7 +187,10 @@ class RenderSettings:
     # per-medium PExpr closures: None or (fn_sigma_a|None, fn_sigma_s|None)
     medium_exprs: Tuple = ()
     has_blend: bool = False  # scene contains blend/mask BSDFs (dual dispatch)
+    has_bump: bool = False   # scene contains normal/bump-mapped BSDFs
     pixel_sampler: str = "uniform"  # uniform | mjitt | halton
+    # --- adaptive env sampling (AdaptiveEnvPathTechnique.cpp:20) ---------
+    learning_iterations: int = 1
     # --- photon mapping (PhotonMappingTechnique.cpp:14-20) ---------------
     photon_count: int = 100000   # "photons" (reference default 1e6)
     max_light_depth: int = 8     # "max_light_depth"

@@ -12,6 +12,7 @@ from . import volpath as _volpath
 from . import simple as _simple
 from . import lighttracer as _lighttracer
 from . import ppm as _ppm
+from . import aept as _aept
 
 
 def dispatch_technique(name: str):
@@ -25,8 +26,12 @@ def dispatch_technique(name: str):
         return _simple.debug_trace
     if name in ("wireframe",):
         return _simple.wireframe_trace
-    if name in ("lightvisibility", "camera_check"):
+    if name in ("lightvisibility",):
         return _simple.light_visibility_trace
+    if name in ("camera_check", "cameracheck"):
+        return _simple.camera_check_trace
+    if name in ("env_check", "envcheck"):
+        return _simple.env_check_trace
     if name in ("lt", "lighttracer"):
         # handled at the session level (splats to film, different signature)
         from . import lighttracer
@@ -35,4 +40,8 @@ def dispatch_technique(name: str):
         # handled at the session level (photon pass + camera pass)
         from . import ppm
         return ppm.ppm_render
+    if name in ("aept", "adaptive_env"):
+        # handled at the session level (learning + guided sampling passes)
+        from . import aept
+        return aept.sample_trace
     raise ValueError(f"Unknown technique '{name}'")

@@ -23,7 +23,8 @@ from ..models import camera as cameralib
 from ..models import light as lightlib
 from ..ops.intersect import FLT_MAX, Rays
 from ..scenedata import RenderSettings, SceneData
-from .path import (OFFSET, _handle_color, compute_surface, gather_material,
+from .path import (OFFSET, _handle_color, apply_normal_map,
+                   compute_surface, gather_material,
                    make_surface_ctx, occluded_scene, trace_scene)
 
 
@@ -87,8 +88,10 @@ def lt_trace_film(scene: SceneData, settings: RenderSettings, x, y,
                 if eval_texture is not None else None)
         mat = gather_material(scene, surf, eval_texture, sctx)
         out_dir = -state.dir
-        frame_l = make_frame(surf.ns)
         mid = scene.entities.mat[jnp.clip(surf.ent, 0, None)]
+        surf = apply_normal_map(scene, settings, surf, sctx, eval_texture,
+                                mid)
+        frame_l = make_frame(surf.ns)
         shader = bsdflib.make_lane_shader(scene.materials, mid, mat, frame_l,
                                           surf.is_entering,
                                           settings.has_blend, None,

@@ -173,6 +173,54 @@ def gather_material(scene: SceneData, surf: Surface, eval_texture=None,
     return mat
 
 
+def apply_normal_map(scene: SceneData, settings: RenderSettings,
+                     surf: Surface, sctx, eval_texture, mid) -> Surface:
+    """Perturb the shading normal for normal/bump-mapped materials
+    (reference bsdf/map.art make_normalmap/make_bumpmap). No-op unless the
+    scene contains mapped BSDFs (settings.has_bump, statically pruned)."""
+    if not settings.has_bump or eval_texture is None:
+        return surf
+    bk = scene.materials.bump_kind[mid]
+    bt = jnp.clip(scene.materials.bump_tex[mid], 0, None)
+    bs = scene.materials.bump_strength[mid]
+    fr = make_frame(surf.ns)
+    ctx = sctx if sctx is not None else surf.uv
+
+    # normalmap (map.art:56): tangent-space color -> world, lerp by strength
+    c = eval_texture(bt, ctx)
+    tx, ty, tz = 2.0 * c.r - 1.0, 2.0 * c.g - 1.0, 2.0 * c.b - 1.0
+    oN = normalize(Vec3(fr.t.x * tx + fr.b.x * ty + fr.n.x * tz,
+                        fr.t.y * tx + fr.b.y * ty + fr.n.y * tz,
+                        fr.t.z * tx + fr.b.z * ty + fr.n.z * tz))
+    nN = normalize(Vec3(surf.ns.x + (oN.x - surf.ns.x) * bs,
+                        surf.ns.y + (oN.y - surf.ns.y) * bs,
+                        surf.ns.z + (oN.z - surf.ns.z) * bs))
+
+    # bumpmap (map.art:64): n - strength*(t*dh/du + b*dh/dv); central
+    # differences in uv stand in for the reference's ray-differential
+    # texture_dx/texture_dy
+    h = 1.0 / 512.0
+    if isinstance(ctx, Vec2):
+        cpx = Vec2(ctx.x + h, ctx.y)
+        cmx = Vec2(ctx.x - h, ctx.y)
+        cpy = Vec2(ctx.x, ctx.y + h)
+        cmy = Vec2(ctx.x, ctx.y - h)
+    else:
+        u, v = ctx.uv
+        cpx = ctx._replace(uv=(u + h, v))
+        cmx = ctx._replace(uv=(u - h, v))
+        cpy = ctx._replace(uv=(u, v + h))
+        cmy = ctx._replace(uv=(u, v - h))
+    dx = (eval_texture(bt, cpx).r - eval_texture(bt, cmx).r) * 0.5
+    dy = (eval_texture(bt, cpy).r - eval_texture(bt, cmy).r) * 0.5
+    bN = normalize(Vec3(surf.ns.x - bs * (fr.t.x * dx + fr.b.x * dy),
+                        surf.ns.y - bs * (fr.t.y * dx + fr.b.y * dy),
+                        surf.ns.z - bs * (fr.t.z * dx + fr.b.z * dy)))
+
+    new_ns = vselect(bk == 1, nN, vselect(bk == 2, bN, surf.ns))
+    return surf._replace(ns=new_ns)
+
+
 class PathState(NamedTuple):
     org: Vec3
     dir: Vec3
@@ -241,8 +289,9 @@ def make_bounce(scene: SceneData, settings: RenderSettings, n,
                 if eval_texture is not None else None)
         mat = gather_material(scene, surf, eval_texture, sctx)
         out_dir = -state.dir
-        frame = make_frame(surf.ns)
         mid = scene.entities.mat[jnp.clip(surf.ent, 0, None)]
+        surf = apply_normal_map(scene, settings, surf, sctx, eval_texture, mid)
+        frame = make_frame(surf.ns)
         w_override = None
         if settings.has_blend and eval_texture is not None:
             p0t = scene.materials.p0_tex[mid]

@@ -37,6 +37,7 @@ from ..ops.intersect import FLT_MAX, Rays
 from ..scenedata import RenderSettings, SceneData
 from .lighttracer import _emit
 from .path import (OFFSET, _cadd_where, _handle_color, _infinite_rows,
+                   apply_normal_map,
                    compute_surface, gather_material, make_surface_ctx,
                    occluded_scene, trace_scene)
 
@@ -107,8 +108,10 @@ def trace_photons(scene: SceneData, settings: RenderSettings, iteration,
                 if eval_texture is not None else None)
         mat = gather_material(scene, surf, eval_texture, sctx)
         out_dir = -state.dir
-        frame_l = make_frame(surf.ns)
         mid = scene.entities.mat[jnp.clip(surf.ent, 0, None)]
+        surf = apply_normal_map(scene, settings, surf, sctx, eval_texture,
+                                mid)
+        frame_l = make_frame(surf.ns)
         shader = bsdflib.make_lane_shader(scene.materials, mid, mat, frame_l,
                                           surf.is_entering,
                                           settings.has_blend, None,
@@ -356,8 +359,10 @@ def ppm_trace_progressive(scene: SceneData, settings: RenderSettings, x, y,
                 if eval_texture is not None else None)
         mat = gather_material(scene, surf, eval_texture, sctx)
         out_dir = -state.dir
-        frame_l = make_frame(surf.ns)
         mid = scene.entities.mat[jnp.clip(surf.ent, 0, None)]
+        surf = apply_normal_map(scene, settings, surf, sctx, eval_texture,
+                                mid)
+        frame_l = make_frame(surf.ns)
         w_override = None
         if settings.has_blend and eval_texture is not None:
             p0t = scene.materials.p0_tex[mid]

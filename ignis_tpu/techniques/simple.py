@@ -124,6 +124,59 @@ def light_visibility_trace(scene: SceneData, settings: RenderSettings,
     return Color(v, v, v)
 
 
+def env_check_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
+                    rng_state, eval_texture=None) -> Color:
+    """Render the environment only: camera-ray misses show the summed
+    emission of all infinite non-delta lights (internal/env_check.art)."""
+    from ..models import light as lightlib
+    from .path import _infinite_rows
+    hit = trace_scene(scene, rays)
+    miss = hit.prim < 0
+    n = rays.tmin.shape
+    out = black(n)
+    for lid in _infinite_rows(scene, settings):
+        lp = lightlib.gather_light(scene.lights,
+                                   jnp.full(n, lid, jnp.int32))
+        emit = lightlib.env_emission(scene, lp, rays.dir, eval_texture)
+        out = cselect(miss & ~lp.delta, Color(out.r + emit.r, out.g + emit.g,
+                                              out.b + emit.b), out)
+    return out
+
+
+def camera_check_trace(scene: SceneData, settings: RenderSettings,
+                       rays: Rays, rng_state, eval_texture=None) -> Color:
+    """Reproject the primary hit through the camera: green where the point
+    projects back onto its own pixel and the camera is visible, shading to
+    red with reprojection error (internal/camera_check.art)."""
+    from ..models import camera as cameralib
+    hit = trace_scene(scene, rays)
+    found = hit.prim >= 0
+    surf = compute_surface(scene, rays, hit)
+    n = rays.tmin.shape
+    valid_p, pix, cam_dir, _w = cameralib.sample_pixel(scene.camera, settings,
+                                                       surf.point)
+    w = settings.width
+    px = pix % w
+    py = pix // w
+    # this lane's own pixel coordinates come from its linear lane index
+    lane = jnp.arange(px.shape[0], dtype=jnp.int32)
+    ox = lane % w
+    oy = lane // w
+    fac = ((1.0 - jnp.abs(ox - px).astype(jnp.float32) / w)
+           * (1.0 - jnp.abs(oy - py).astype(jnp.float32) / settings.height))
+    fac = jnp.clip(fac, 0.0, 1.0)
+    srays = Rays(surf.point, cam_dir, jnp.broadcast_to(OFFSET, n),
+                 jnp.full(n, 1.0 - float(OFFSET)))
+    occ = occluded_scene(scene, srays)
+    ok = found & valid_p & ~occ
+    red = Color(jnp.ones(n), jnp.zeros(n), jnp.zeros(n))
+    green = Color(jnp.zeros(n), jnp.ones(n), jnp.zeros(n))
+    mixed = Color(red.r + (green.r - red.r) * fac,
+                  red.g + (green.g - red.g) * fac,
+                  red.b + (green.b - red.b) * fac)
+    return cselect(ok, mixed, black(n))
+
+
 def info_buffer(scene: SceneData, settings: RenderSettings, rays: Rays,
                 rng_state, eval_texture=None):
     """Normals / Albedo / Depth AOVs in one traversal (the reference

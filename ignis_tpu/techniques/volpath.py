@@ -27,6 +27,7 @@ from ..models import medium as medlib
 from ..ops.intersect import FLT_MAX, Rays
 from ..scenedata import RenderSettings, SceneData
 from .path import (OFFSET, _cadd_where, _handle_color, _infinite_rows,
+                   apply_normal_map,
                    compute_surface, gather_material, make_surface_ctx,
                    occluded_scene, trace_scene)
 
@@ -93,8 +94,9 @@ def volpath_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
         sctx = make_surface_ctx(scene, rays_b, surf, eval_texture)
         mat = gather_material(scene, surf, eval_texture, sctx)
         out_dir = -state.dir
-        frame = make_frame(surf.ns)
         mid = scene.entities.mat[jnp.clip(surf.ent, 0, None)]
+        surf = apply_normal_map(scene, settings, surf, sctx, eval_texture, mid)
+        frame = make_frame(surf.ns)
         w_override = None
         if settings.has_blend and eval_texture is not None:
             p0t = scene.materials.p0_tex[mid]

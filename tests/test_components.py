@@ -1,0 +1,125 @@
+"""Coverage for the breadth components: gauss shapes, Mitsuba serialized
+meshes, brick/transform textures, normal/bump mapping, aept / env_check /
+camera_check techniques."""
+import json
+import struct
+import zlib
+
+import numpy as np
+
+import ignis_tpu
+from ignis_tpu.scene import mesh as meshlib
+
+
+def _render(scene, spi=4, steps=1):
+    rt = ignis_tpu.loadFromString(json.dumps(scene), spi=spi)
+    for _ in range(steps):
+        rt.step()
+    return np.asarray(rt.framebuffer(normalized=True)), rt
+
+
+BASE = {
+    "technique": {"type": "path", "max_depth": 3},
+    "camera": {"type": "perspective", "fov": 60,
+               "transform": [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, -2]},
+    "film": {"size": [32, 32]},
+    "bsdfs": [{"type": "diffuse", "name": "g", "reflectance": [0.8, 0.8, 0.8]}],
+    "shapes": [{"type": "rectangle", "name": "B", "width": 4, "height": 4,
+                "flip_normals": True}],
+    "entities": [{"name": "B", "shape": "B", "bsdf": "g"}],
+    "lights": [{"type": "point", "name": "P", "position": [0, 1, -1.5],
+                "intensity": [8, 8, 8]}],
+}
+
+
+def test_gauss_shapes():
+    g = meshlib.make_radial_gaussian((0, 0, 0), (0, 0, 1), sigma=0.5)
+    assert np.isfinite(g.vertices).all() and g.indices.max() < len(g.vertices)
+    lobe = meshlib.make_gaussian_lobe((0, 0, 0), (0, 0, 1), (1, 0, 0),
+                                      (0, 1, 0), [[1, 0], [0, 1]],
+                                      theta_size=16, phi_size=16)
+    assert np.isfinite(lobe.vertices).all()
+    assert lobe.indices.max() < len(lobe.vertices)
+
+
+def test_mts_serialized_roundtrip(tmp_path):
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    idx = np.array([[0, 1, 2], [0, 2, 3]], np.uint32)
+    uv = np.array([[0, 0], [1, 0], [0, 1], [0, 0]], np.float32)
+    payload = (struct.pack("<I", 0x0002 | 0x1000) + b"s0\x00"
+               + struct.pack("<QQ", 4, 2)
+               + verts.tobytes() + uv.tobytes() + idx.tobytes())
+    blob = (struct.pack("<HH", 0x041C, 4) + zlib.compress(payload)
+            + struct.pack("<Q", 0) + struct.pack("<I", 1))
+    p = tmp_path / "t.serialized"
+    p.write_bytes(blob)
+    m = meshlib.load_mts_serialized(p)
+    assert np.allclose(m.vertices, verts)
+    assert (m.indices == idx).all()
+    assert np.allclose(m.texcoords, uv)
+
+
+def test_brick_transform_bump():
+    scene = json.loads(json.dumps(BASE))
+    scene["textures"] = [
+        {"type": "brick", "name": "bricks", "color0": [0.2, 0.1, 0.1],
+         "color1": [0.7, 0.3, 0.2]},
+        {"type": "noise", "name": "bump_src", "scale": 8},
+        {"type": "transform", "name": "bricks_t", "texture": "bricks",
+         "transform": [{"scale": [2, 2, 1]}]},
+    ]
+    scene["bsdfs"] = [
+        {"type": "diffuse", "name": "inner", "reflectance": "bricks_t"},
+        {"type": "bumpmap", "name": "g", "bsdf": "inner", "map": "bump_src",
+         "strength": 0.5},
+    ]
+    img, rt = _render(scene)
+    assert rt.warnings == []
+    assert np.isfinite(img).all() and img.mean() > 0.01
+    assert img.var() > 1e-4  # brick pattern visible
+
+
+def test_flat_normalmap_is_identity():
+    scene = json.loads(json.dumps(BASE))
+    scene["textures"] = [{"type": "expr", "name": "nmap",
+                          "expr": "vec3(0.5, 0.5, 1.0)"}]
+    scene["bsdfs"] = [
+        {"type": "diffuse", "name": "inner", "reflectance": [0.8, 0.8, 0.8]},
+        {"type": "normalmap", "name": "g", "bsdf": "inner", "map": "nmap"},
+    ]
+    img, _ = _render(scene)
+    plain = json.loads(json.dumps(BASE))
+    ref, _ = _render(plain)
+    assert np.allclose(img, ref, atol=1e-4)
+
+
+def test_aept_matches_pt():
+    scene = json.loads(json.dumps(BASE))
+    scene["film"]["size"] = [48, 48]
+    scene["textures"] = [{"type": "expr", "name": "sky",
+                          "expr": "vec3(0.05,0.05,0.08) + (select(uv.x > 0.4 "
+                                  "&& uv.x < 0.45 && uv.y > 0.6 && uv.y < "
+                                  "0.65, 40, 0)) * vec3(1,0.9,0.7)"}]
+    scene["lights"] = [{"type": "env", "name": "E", "radiance": "sky"}]
+    pt, _ = _render(scene, spi=64)
+    scene["technique"]["type"] = "aept"
+    ae, _ = _render(scene, spi=64)
+    assert abs(ae.mean() - pt.mean()) / pt.mean() < 0.1
+
+
+def test_check_techniques():
+    scene = json.loads(json.dumps(BASE))
+    scene["technique"]["type"] = "camera_check"
+    img, _ = _render(scene)
+    # perfect reprojection: pure green everywhere the plane is hit
+    assert img[..., 1].mean() > 0.9 and img[..., 0].mean() < 0.1
+
+    scene = json.loads(json.dumps(BASE))
+    scene["shapes"][0]["width"] = 0.5   # shrink so the env is visible
+    scene["shapes"][0]["height"] = 0.5
+    scene["technique"]["type"] = "env_check"
+    scene["textures"] = [{"type": "expr", "name": "sky",
+                          "expr": "vec3(0.2, 0.4, 0.8)"}]
+    scene["lights"] = [{"type": "env", "name": "E", "radiance": "sky"}]
+    img, _ = _render(scene)
+    assert img.max() > 0.1  # environment visible around the small plane

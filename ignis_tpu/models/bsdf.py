@@ -51,6 +51,12 @@ class BsdfKind(IntEnum):
     PRINCIPLED = 6
     NULL_ERROR = 7
     BLEND = 8      # p0 = weight (q-slot child indices resolved in build)
+    # Radiance compliance models (reference bsdf/rad.art):
+    # RAD_BRTDF: base=refl_spec extra=trns_spec extra2=trns_diff
+    #            q0-2=refl_front_diffuse(+direct) q3-5=refl_back_diffuse(+dir)
+    # RAD_ROOS:  base=(trns_w,p,q) extra=(refl_w,p,q), diffuse as above
+    RAD_BRTDF = 9
+    RAD_ROOS = 10
 
 
 class MatParams(NamedTuple):
@@ -282,6 +288,109 @@ def _want(present, kind):
     return present is None or int(kind) in present
 
 
+# ---------------------------------------------------------------------------
+# Radiance models (rad.art): mirror + straight transmission + lambert
+# reflection/transmission, combined with nested one-sample lobe selection
+# ---------------------------------------------------------------------------
+
+def _rad_lobes(mat: MatParams, is_entering, wo: Vec3):
+    """Per-lane (refl_spec, trns_spec, refl_diff, trns_diff)."""
+    kinds = mat.kind
+    shape = mat.p0.shape
+    # Roos angular model (rad.art:37): specular terms from the view angle
+    z = jnp.arccos(jnp.clip(jnp.abs(wo.z), 0.0, 1.0 - 1e-7)) * 0.636619772368
+    tq = jnp.maximum(mat.base.b, 1e-4)
+    rq = jnp.maximum(mat.extra.b, 1e-4)
+    tp, rp = mat.base.g, mat.extra.g
+    tw, rw = mat.base.r, mat.extra.r
+    a = 8.0
+    alpha_t = 5.2 + 0.7 * tq
+    gamma = lambda p, q: (5.26 + 0.06 * p) + (0.73 + 0.04 * p) * q
+    b_t = 0.25 / tq
+    c_t = 1.0 - a - b_t
+    tau = tw * (1.0 - a * jnp.power(z, alpha_t) - b_t * z * z
+                - c_t * jnp.power(z, gamma(tp, tq)))
+    rf = rw + (1.0 - rw) * jnp.power(z, gamma(rp, rq))
+    tau = jnp.clip(tau, 0.0, 1.0)
+    rf = jnp.clip(rf, 0.0, 1.0)
+
+    is_roos = kinds == BsdfKind.RAD_ROOS
+    refl_spec = cselect(is_roos, Color(rf, rf, rf), mat.base)
+    trns_spec = cselect(is_roos, Color(tau, tau, tau), mat.extra)
+    front = Color(mat.q0, mat.q1, mat.q2)
+    back = Color(mat.q3, mat.q4, mat.q5)
+    refl_diff = cselect(jnp.broadcast_to(is_entering, shape), front, back)
+    trns_diff = mat.extra2
+    return refl_spec, trns_spec, refl_diff, trns_diff
+
+
+def _avg(c: Color):
+    return (c.r + c.g + c.b) * (1.0 / 3.0)
+
+
+def _rad_probs(refl_spec, trns_spec, refl_diff, trns_diff):
+    """Nested lobe-selection probabilities (rad.art:16-28)."""
+    p_refr = safe_div(_avg(trns_spec), _avg(refl_spec) + _avg(trns_spec))
+    p_td = safe_div(_avg(trns_diff), _avg(refl_diff) + _avg(trns_diff))
+    sum_spec = _avg(refl_spec) + _avg(trns_spec)
+    sum_diff = _avg(refl_diff) + _avg(trns_diff)
+    p_spec = safe_div(sum_spec, sum_spec + sum_diff)
+    return p_refr, p_td, p_spec
+
+
+def _rad_eval(mat: MatParams, is_entering, wi: Vec3, wo: Vec3) -> Color:
+    _, _, refl_diff, trns_diff = _rad_lobes(mat, is_entering, wo)
+    cr = jnp.maximum(wi.z, 0.0) * INV_PI
+    ct = jnp.maximum(-wi.z, 0.0) * INV_PI
+    return Color(refl_diff.r * cr + trns_diff.r * ct,
+                 refl_diff.g * cr + trns_diff.g * ct,
+                 refl_diff.b * cr + trns_diff.b * ct)
+
+
+def _rad_pdf(mat: MatParams, is_entering, wi: Vec3, wo: Vec3):
+    lobes = _rad_lobes(mat, is_entering, wo)
+    _, p_td, p_spec = _rad_probs(*lobes)
+    pr = cosine_hemisphere_pdf(jnp.maximum(wi.z, 0.0)) * (1.0 - p_td)
+    pt = cosine_hemisphere_pdf(jnp.maximum(-wi.z, 0.0)) * p_td
+    return (1.0 - p_spec) * (pr + pt)
+
+
+def _rad_sample(mat: MatParams, is_entering, wo: Vec3, u0, cdir: Vec3,
+                cpdf) -> BsdfSample:
+    refl_spec, trns_spec, refl_diff, trns_diff = _rad_lobes(mat, is_entering,
+                                                            wo)
+    p_refr, p_td, p_spec = _rad_probs(refl_spec, trns_spec, refl_diff,
+                                      trns_diff)
+    shape = u0.shape
+    one = jnp.ones(shape)
+
+    pick_spec = u0 < p_spec
+    # re-stretch u0 within the chosen group for the inner lobe choice
+    u_in = jnp.where(pick_spec, safe_div(u0, p_spec),
+                     safe_div(u0 - p_spec, 1.0 - p_spec))
+    pick_refr = u_in < p_refr
+    pick_td = u_in < p_td
+
+    refl_smooth = Vec3(-wo.x, -wo.y, wo.z)
+    spec_dir = vselect(pick_refr, -wo, refl_smooth)
+    spec_w = cselect(pick_refr,
+                     trns_spec * safe_div(1.0, p_spec * p_refr),
+                     refl_spec * safe_div(1.0, p_spec * (1.0 - p_refr)))
+
+    tdir = Vec3(cdir.x, cdir.y, -cdir.z)
+    diff_dir = vselect(pick_td, tdir, cdir)
+    diff_w = cselect(pick_td,
+                     trns_diff * safe_div(1.0, (1.0 - p_spec) * p_td),
+                     refl_diff * safe_div(1.0, (1.0 - p_spec) * (1.0 - p_td)))
+    diff_pdf = cpdf * (1.0 - p_spec) * jnp.where(pick_td, p_td, 1.0 - p_td)
+
+    in_dir = vselect(pick_spec, spec_dir, diff_dir)
+    weight = cselect(pick_spec, spec_w, diff_w)
+    pdf = jnp.where(pick_spec, one, diff_pdf)
+    valid = jnp.where(pick_spec, jnp.ones(shape, bool), cpdf > 0)
+    return BsdfSample(in_dir, pdf, weight, one, pick_spec, valid)
+
+
 def eval_bsdf(mat: MatParams, frame: Frame, is_entering, in_dir: Vec3,
               out_dir: Vec3, present=None) -> Color:
     """Masked dispatch; `present` (static tuple of BsdfKind ints) prunes
@@ -308,6 +417,10 @@ def eval_bsdf(mat: MatParams, frame: Frame, is_entering, in_dir: Vec3,
         res = cselect(kinds == BsdfKind.PRINCIPLED,
                       principled_mod.eval_principled(mat, is_entering, wi, wo),
                       res)
+    if mat.q0 is not None and (_want(present, BsdfKind.RAD_BRTDF)
+                               or _want(present, BsdfKind.RAD_ROOS)):
+        is_rad = (kinds == BsdfKind.RAD_BRTDF) | (kinds == BsdfKind.RAD_ROOS)
+        res = cselect(is_rad, _rad_eval(mat, is_entering, wi, wo), res)
     if _want(present, BsdfKind.NULL_ERROR):
         err = jnp.maximum(wi.z, 0.0) * INV_PI
         res = cselect(kinds == BsdfKind.NULL_ERROR,
@@ -345,6 +458,10 @@ def pdf_bsdf(mat: MatParams, frame: Frame, is_entering, in_dir: Vec3,
         pdf = jnp.where(kinds == BsdfKind.PRINCIPLED,
                         principled_mod.pdf_principled(mat, is_entering, wi, wo),
                         pdf)
+    if mat.q0 is not None and (_want(present, BsdfKind.RAD_BRTDF)
+                               or _want(present, BsdfKind.RAD_ROOS)):
+        is_rad = (kinds == BsdfKind.RAD_BRTDF) | (kinds == BsdfKind.RAD_ROOS)
+        pdf = jnp.where(is_rad, _rad_pdf(mat, is_entering, wi, wo), pdf)
     return pdf
 
 
@@ -520,6 +637,15 @@ def sample_bsdf(mat: MatParams, frame: Frame, is_entering, out_dir: Vec3,
         pr_w = pr_eval * safe_div(1.0, pr_pdf)
         principled_s = BsdfSample(pr_wi, pr_pdf, pr_w, pr_eta, false, pr_valid)
         out = sel(BsdfKind.PRINCIPLED, principled_s, out)
+
+    # --- Radiance models ----------------------------------------------------
+    if mat.q0 is not None and (_want(present, BsdfKind.RAD_BRTDF)
+                               or _want(present, BsdfKind.RAD_ROOS)):
+        if not need_cos:
+            cdir, cpdf = sample_cosine_hemisphere(u1, u2)
+        rad_s = _rad_sample(mat, is_entering, wo, u0, cdir, cpdf)
+        is_rad = (kinds == BsdfKind.RAD_BRTDF) | (kinds == BsdfKind.RAD_ROOS)
+        out = _sel_sample(is_rad, rad_s, out)
 
     if _want(present, BsdfKind.NULL_ERROR):
         err_s = BsdfSample(cdir, cpdf, Color(one, zero, one), one, false,

@@ -399,6 +399,39 @@ def _bsdf_row(obj: SceneObject, texreg: "TextureRegistry",
         else:
             row["bump_kind"] = 0  # constant map = no perturbation
         row["bump_strength"] = obj.get_number("strength", 1.0)
+    elif t in ("rad_brtdfunc", "rad_roos"):
+        # Radiance compliance models (RadBRTDFuncBSDF.cpp / RadRoosBSDF.cpp)
+        def _cc(key, default):
+            v = obj.get_color(key, default)
+            if isinstance(v, str):
+                c = None
+                try:
+                    c = texreg.eval_constant_number(v)
+                except Exception:
+                    pass
+                if c is not None:
+                    return np.full(3, float(c))
+                warnings.append(f"BSDF '{obj.name}': non-constant {key}")
+                return np.asarray(default, np.float64)
+            return np.asarray(v, np.float64)
+        dir_diff = _cc("direct_diffuse", (0, 0, 0))
+        front = _cc("reflection_front_diffuse", (0, 0, 0)) + dir_diff
+        back = _cc("reflection_back_diffuse", (0, 0, 0)) + dir_diff
+        row["extra2"] = _cc("transmission_diffuse", (0, 0, 0))
+        row["q0"], row["q1"], row["q2"] = front.tolist()
+        row["q3"], row["q4"], row["q5"] = back.tolist()
+        if t == "rad_brtdfunc":
+            row["kind"] = int(BsdfKind.RAD_BRTDF)
+            row["base"] = _cc("reflection_specular", (1, 1, 1))
+            row["extra"] = _cc("transmission_specular", (0, 0, 0))
+        else:
+            row["kind"] = int(BsdfKind.RAD_ROOS)
+            row["base"] = np.array([obj.get_number("trns_w", 0.0),
+                                    obj.get_number("trns_p", 0.0),
+                                    obj.get_number("trns_q", 0.0)])
+            row["extra"] = np.array([obj.get_number("refl_w", 0.0),
+                                     obj.get_number("refl_p", 0.0),
+                                     obj.get_number("refl_q", 0.0)])
     elif t in ("transparent", "ignore"):
         row["kind"] = int(BsdfKind.PASSTHROUGH)
     else:

@@ -123,3 +123,40 @@ def test_check_techniques():
     scene["lights"] = [{"type": "env", "name": "E", "radiance": "sky"}]
     img, _ = _render(scene)
     assert img.max() > 0.1  # environment visible around the small plane
+
+
+def test_rad_brtdfunc_diffuse_matches_lambert():
+    scene = json.loads(json.dumps(BASE))
+    scene["bsdfs"] = [{"type": "rad_brtdfunc", "name": "g",
+                       "reflection_specular": [0, 0, 0],
+                       "reflection_front_diffuse": [0.8, 0.8, 0.8]}]
+    a, _ = _render(scene, spi=32)
+    ref = json.loads(json.dumps(BASE))
+    b, _ = _render(ref, spi=32)
+    assert np.allclose(a, b, atol=1e-5)
+
+
+def test_rad_roos_renders():
+    scene = json.loads(json.dumps(BASE))
+    # light behind a roos glazing layer in front of the wall
+    scene["shapes"].append({"type": "rectangle", "name": "W", "width": 4,
+                            "height": 4, "flip_normals": True})
+    scene["bsdfs"] = [
+        {"type": "rad_roos", "name": "g", "trns_w": 0.8, "trns_p": 2.0,
+         "trns_q": 1.0, "refl_w": 0.1, "refl_p": 2.0, "refl_q": 1.0},
+        {"type": "diffuse", "name": "wall", "reflectance": [0.8, 0.8, 0.8]},
+    ]
+    scene["entities"] = [
+        {"name": "G", "shape": "B", "bsdf": "g",
+         "transform": [{"translate": [0, 0, -1.0]}]},
+        {"name": "W", "shape": "W", "bsdf": "wall"},
+    ]
+    # light sits between glazing and wall: the camera sees the lit wall
+    # THROUGH the glazing (shadow rays are binary, as in the reference, so
+    # a light behind the glazing would be NEE-occluded)
+    scene["lights"] = [{"type": "point", "name": "P",
+                        "position": [0, 0.5, -0.5], "intensity": [8, 8, 8]}]
+    img, rt = _render(scene, spi=32)
+    assert rt.warnings == []
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.01  # wall visible through the glazing

@@ -57,6 +57,8 @@ class BsdfKind(IntEnum):
     # RAD_ROOS:  base=(trns_w,p,q) extra=(refl_w,p,q), diffuse as above
     RAD_BRTDF = 9
     RAD_ROOS = 10
+    # Measured (Klems XML): base=base_color extra2=up q6=measured index
+    KLEMS = 11
 
 
 class MatParams(NamedTuple):
@@ -391,8 +393,30 @@ def _rad_sample(mat: MatParams, is_entering, wo: Vec3, u0, cdir: Vec3,
     return BsdfSample(in_dir, pdf, weight, one, pick_spec, valid)
 
 
+def _measured_dispatch(op, mat, frame, is_entering, measured, zero, *args):
+    """Unrolled masked select over the scene's measured BSDF tables."""
+    from . import klems as klemslib
+    kid = mat.q6.astype(jnp.int32)
+    up = Vec3(mat.extra2.r, mat.extra2.g, mat.extra2.b)
+    kframe = klemslib.make_klems_frame(frame.n, is_entering, up)
+    out = zero
+    for i, kd in enumerate(measured):
+        v = op(kd, kframe, *args)
+        if isinstance(out, Color):
+            out = cselect(kid == i, v, out)
+        elif isinstance(out, tuple):
+            out = tuple(
+                cselect(kid == i, a, b) if isinstance(b, Color) else
+                (vselect(kid == i, a, b) if isinstance(b, Vec3)
+                 else jnp.where(kid == i, a, b))
+                for a, b in zip(v, out))
+        else:
+            out = jnp.where(kid == i, v, out)
+    return out
+
+
 def eval_bsdf(mat: MatParams, frame: Frame, is_entering, in_dir: Vec3,
-              out_dir: Vec3, present=None) -> Color:
+              out_dir: Vec3, present=None, measured=None) -> Color:
     """Masked dispatch; `present` (static tuple of BsdfKind ints) prunes
     kinds absent from the scene — the XLA analog of the reference's
     per-material shader specialization."""
@@ -421,6 +445,13 @@ def eval_bsdf(mat: MatParams, frame: Frame, is_entering, in_dir: Vec3,
                                or _want(present, BsdfKind.RAD_ROOS)):
         is_rad = (kinds == BsdfKind.RAD_BRTDF) | (kinds == BsdfKind.RAD_ROOS)
         res = cselect(is_rad, _rad_eval(mat, is_entering, wi, wo), res)
+    if measured and _want(present, BsdfKind.KLEMS):
+        from . import klems as klemslib
+        v = _measured_dispatch(
+            lambda kd, kf: klemslib.klems_eval(kd, mat.base, kf, in_dir,
+                                               out_dir),
+            mat, frame, is_entering, measured, black(mat.p0.shape))
+        res = cselect(kinds == BsdfKind.KLEMS, v, res)
     if _want(present, BsdfKind.NULL_ERROR):
         err = jnp.maximum(wi.z, 0.0) * INV_PI
         res = cselect(kinds == BsdfKind.NULL_ERROR,
@@ -429,7 +460,7 @@ def eval_bsdf(mat: MatParams, frame: Frame, is_entering, in_dir: Vec3,
 
 
 def pdf_bsdf(mat: MatParams, frame: Frame, is_entering, in_dir: Vec3,
-             out_dir: Vec3, present=None) -> jnp.ndarray:
+             out_dir: Vec3, present=None, measured=None) -> jnp.ndarray:
     wi = frame.to_local(in_dir)
     wo = frame.to_local(out_dir)
     kinds = mat.kind
@@ -462,6 +493,12 @@ def pdf_bsdf(mat: MatParams, frame: Frame, is_entering, in_dir: Vec3,
                                or _want(present, BsdfKind.RAD_ROOS)):
         is_rad = (kinds == BsdfKind.RAD_BRTDF) | (kinds == BsdfKind.RAD_ROOS)
         pdf = jnp.where(is_rad, _rad_pdf(mat, is_entering, wi, wo), pdf)
+    if measured and _want(present, BsdfKind.KLEMS):
+        from . import klems as klemslib
+        v = _measured_dispatch(
+            lambda kd, kf: klemslib.klems_pdf(kd, kf, in_dir, out_dir),
+            mat, frame, is_entering, measured, jnp.zeros(mat.p0.shape))
+        pdf = jnp.where(kinds == BsdfKind.KLEMS, v, pdf)
     return pdf
 
 
@@ -474,7 +511,8 @@ def is_all_delta(mat: MatParams) -> jnp.ndarray:
 
 
 def sample_bsdf(mat: MatParams, frame: Frame, is_entering, out_dir: Vec3,
-                u0, u1, u2, present=None, adjoint=False) -> BsdfSample:
+                u0, u1, u2, present=None, adjoint=False,
+                measured=None) -> BsdfSample:
     """Masked-dispatch sample. u0: lobe select; u1, u2: direction.
     `present` statically prunes kinds absent from the scene."""
     shape = mat.p0.shape
@@ -653,6 +691,21 @@ def sample_bsdf(mat: MatParams, frame: Frame, is_entering, out_dir: Vec3,
         if err_s is not None:
             out = sel(BsdfKind.NULL_ERROR, err_s, out)
 
+    # --- measured (Klems) ---------------------------------------------------
+    if measured and _want(present, BsdfKind.KLEMS):
+        from . import klems as klemslib
+        zero_t = (Vec3(zero, zero, one), zero,
+                  Color(zero, zero, zero), zero > 1)
+        wdir, kpdf, kw, kvalid = _measured_dispatch(
+            lambda kd, kf: klemslib.klems_sample(kd, mat.base, kf, out_dir,
+                                                 u0, u1, u2),
+            mat, frame, is_entering, measured, zero_t)
+        # klems returns a WORLD direction; store it in local so the common
+        # to_world conversion below round-trips
+        klems_s = BsdfSample(frame.to_local(wdir), kpdf, kw, one, false,
+                             kvalid)
+        out = sel(BsdfKind.KLEMS, klems_s, out)
+
     # Convert local direction to world
     return out._replace(in_dir=frame.to_world(out.in_dir))
 
@@ -690,31 +743,32 @@ class LaneShader:
     """Per-lane BSDF interface over (possibly blended) material rows."""
 
     def __init__(self, matA: MatParams, matB: MatParams, w, frame, entering,
-                 present=None):
+                 present=None, measured=None):
         self.matA = matA
         self.matB = matB
         self.w = w            # lerp weight towards B; None = no blending
         self.frame = frame
         self.entering = entering
         self.present = present
+        self.measured = measured
 
     def eval(self, in_dir: Vec3, out_dir: Vec3) -> Color:
         a = eval_bsdf(self.matA, self.frame, self.entering, in_dir, out_dir,
-                      self.present)
+                      self.present, self.measured)
         if self.w is None:
             return a
         b = eval_bsdf(self.matB, self.frame, self.entering, in_dir, out_dir,
-                      self.present)
+                      self.present, self.measured)
         from ..core.vec import clerp
         return clerp(a, b, self.w)
 
     def pdf(self, in_dir: Vec3, out_dir: Vec3):
         a = pdf_bsdf(self.matA, self.frame, self.entering, in_dir, out_dir,
-                     self.present)
+                     self.present, self.measured)
         if self.w is None:
             return a
         b = pdf_bsdf(self.matB, self.frame, self.entering, in_dir, out_dir,
-                     self.present)
+                     self.present, self.measured)
         return a + (b - a) * self.w
 
     def is_all_delta(self):
@@ -727,12 +781,12 @@ class LaneShader:
     def sample(self, out_dir: Vec3, u_pick, u0, u1, u2,
                adjoint=False) -> BsdfSample:
         sA = sample_bsdf(self.matA, self.frame, self.entering, out_dir,
-                         u0, u1, u2, self.present, adjoint)
+                         u0, u1, u2, self.present, adjoint, self.measured)
         if self.w is None:
             return sA
         from ..core.vec import clerp
         sB = sample_bsdf(self.matB, self.frame, self.entering, out_dir,
-                         u0, u1, u2, self.present, adjoint)
+                         u0, u1, u2, self.present, adjoint, self.measured)
         pick_b = u_pick < self.w
         s = _sel_sample(pick_b, sB, sA)
         # pdf/eval of the *other* child at the sampled direction
@@ -757,10 +811,11 @@ class LaneShader:
 
 def make_lane_shader(materials, mid, base_mat: MatParams, frame, entering,
                      has_blend: bool, weight_override=None,
-                     present=None) -> LaneShader:
+                     present=None, measured=None) -> LaneShader:
     """Build the lane shader; resolves one level of blend children."""
     if not has_blend:
-        return LaneShader(base_mat, base_mat, None, frame, entering, present)
+        return LaneShader(base_mat, base_mat, None, frame, entering, present,
+                          measured)
     is_blend = base_mat.kind == BsdfKind.BLEND
     aid = jnp.where(is_blend, base_mat.q0.astype(jnp.int32), mid)
     bid = jnp.where(is_blend, base_mat.q1.astype(jnp.int32), mid)
@@ -770,4 +825,4 @@ def make_lane_shader(materials, mid, base_mat: MatParams, frame, entering,
     # cutoff flag (p2): binarize the weight at threshold p1
     w = jnp.where(base_mat.p2 > 0.5, jnp.where(w >= base_mat.p1, 1.0, 0.0), w)
     w = jnp.where(is_blend, jnp.clip(w, 0.0, 1.0), 0.0)
-    return LaneShader(matA, matB, w, frame, entering, present)
+    return LaneShader(matA, matB, w, frame, entering, present, measured)

@@ -67,6 +67,7 @@ class TextureRegistry:
         self.datas: List = []
         self.name_to_tex: Dict[str, int] = {}
         self.images: Dict[str, np.ndarray] = {}
+        self.measured: List = []  # measured-BSDF tables (klems etc.)
         self.warnings = warnings
         self.parameters = parameters or {}
         self._pexpr_cache: Dict[str, int] = {}
@@ -399,6 +400,22 @@ def _bsdf_row(obj: SceneObject, texreg: "TextureRegistry",
         else:
             row["bump_kind"] = 0  # constant map = no perturbation
         row["bump_strength"] = obj.get_number("strength", 1.0)
+    elif t == "klems":
+        # Measured Klems BSDF (KlemsBSDF.cpp): XML -> 4 scattering matrices
+        from ..models.klems import from_numpy as _klems_jnp
+        from .klems import load_klems
+        try:
+            knp = load_klems(obj.path("filename"))
+            row["kind"] = int(BsdfKind.KLEMS)
+            row["q6"] = float(len(texreg.measured))
+            texreg.measured.append(_klems_jnp(knp))
+            col("base_color", (1, 1, 1))
+            up = np.asarray(obj.get_vec3("up", (0, 0, 1)), np.float64)
+            up = up / max(np.linalg.norm(up), 1e-9)
+            row["extra2"] = up
+        except Exception as e:
+            warnings.append(f"BSDF '{obj.name}': klems load failed: {e}")
+            row["kind"] = int(BsdfKind.NULL_ERROR)
     elif t in ("rad_brtdfunc", "rad_roos"):
         # Radiance compliance models (RadBRTDFuncBSDF.cpp / RadRoosBSDF.cpp)
         def _cc(key, default):
@@ -1121,7 +1138,8 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
                      textures=tuple(texreg.datas),
                      bvh=bvh_arrays,
                      scene_radius=jnp.float32(radius),
-                     scene_center=Vec3(*[jnp.float32(v) for v in center]))
+                     scene_center=Vec3(*[jnp.float32(v) for v in center]),
+                     measured=tuple(texreg.measured))
 
     settings = RenderSettings(
         width=width, height=height, technique=tech_type,

@@ -151,6 +151,7 @@ class SceneData(NamedTuple):
     bvh: Optional[tuple] = None       # ops/bvh.py BVHArrays for big scenes
     scene_radius: jnp.ndarray = jnp.float32(1.0)
     scene_center: Vec3 = Vec3(jnp.float32(0), jnp.float32(0), jnp.float32(0))
+    measured: tuple = ()  # measured-BSDF tables (models/klems.py KlemsData)
 
 
 class Media(NamedTuple):

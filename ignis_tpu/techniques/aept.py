@@ -172,7 +172,8 @@ def learn_trace(scene: SceneData, settings: RenderSettings, x, y, iteration,
         shader = bsdflib.make_lane_shader(scene.materials, mid, mat, frame_l,
                                           surf.is_entering,
                                           settings.has_blend, None,
-                                          settings.bsdf_kinds)
+                                          settings.bsdf_kinds,
+                                          measured=scene.measured)
         rng, (b_pick, b0, b1, b2, b_rr) = rnglib.next_f32_n(state.rng, 5)
         bs = shader.sample(out_dir, b_pick, b0, b1, b2)
         new_contrib = state.contrib.cmul(bs.weight)
@@ -382,7 +383,8 @@ def sample_trace(scene: SceneData, settings: RenderSettings, x, y, iteration,
         shader = bsdflib.make_lane_shader(scene.materials, mid, mat, frame_l,
                                           surf.is_entering,
                                           settings.has_blend, None,
-                                          settings.bsdf_kinds)
+                                          settings.bsdf_kinds,
+                                          measured=scene.measured)
         all_delta = shader.is_all_delta()
 
         # emission on hit

@@ -95,7 +95,8 @@ def lt_trace_film(scene: SceneData, settings: RenderSettings, x, y,
         shader = bsdflib.make_lane_shader(scene.materials, mid, mat, frame_l,
                                           surf.is_entering,
                                           settings.has_blend, None,
-                                          settings.bsdf_kinds)
+                                          settings.bsdf_kinds,
+                                          measured=scene.measured)
         all_delta = shader.is_all_delta()
         rng = state.rng
 

@@ -300,7 +300,8 @@ def make_bounce(scene: SceneData, settings: RenderSettings, n,
         shader = bsdflib.make_lane_shader(scene.materials, mid, mat, frame,
                                           surf.is_entering,
                                           settings.has_blend, w_override,
-                                          settings.bsdf_kinds)
+                                          settings.bsdf_kinds,
+                                          measured=scene.measured)
         all_delta = shader.is_all_delta()
 
         # Emission on hit (on_hit, pathtracer.art:120)

@@ -115,7 +115,8 @@ def trace_photons(scene: SceneData, settings: RenderSettings, iteration,
         shader = bsdflib.make_lane_shader(scene.materials, mid, mat, frame_l,
                                           surf.is_entering,
                                           settings.has_blend, None,
-                                          settings.bsdf_kinds)
+                                          settings.bsdf_kinds,
+                                          measured=scene.measured)
         all_delta = shader.is_all_delta()
         emissive = scene.entities.light[jnp.clip(surf.ent, 0, None)] >= 0
         cos_o = dot(out_dir, frame_l.n)
@@ -371,7 +372,8 @@ def ppm_trace_progressive(scene: SceneData, settings: RenderSettings, x, y,
         shader = bsdflib.make_lane_shader(scene.materials, mid, mat, frame_l,
                                           surf.is_entering,
                                           settings.has_blend, w_override,
-                                          settings.bsdf_kinds)
+                                          settings.bsdf_kinds,
+                                          measured=scene.measured)
         all_delta = shader.is_all_delta()
         light_row = scene.entities.light[jnp.clip(surf.ent, 0, None)]
         emissive = light_row >= 0

@@ -105,7 +105,8 @@ def volpath_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
         shader = bsdflib.make_lane_shader(scene.materials, mid, mat, frame,
                                           surf.is_entering,
                                           settings.has_blend, w_override,
-                                          settings.bsdf_kinds)
+                                          settings.bsdf_kinds,
+                                          measured=scene.measured)
         all_delta = shader.is_all_delta()
         seg_tr = medlib.transmittance(med, jnp.where(found, hit.t, 0.0))
 

@@ -160,3 +160,45 @@ def test_rad_roos_renders():
     assert rt.warnings == []
     assert np.isfinite(img).all()
     assert img.mean() > 0.01  # wall visible through the glazing
+
+
+def _klems_xml(path, value):
+    basis = (
+        "<AngleBasis><AngleBasisName>MiniBasis</AngleBasisName>"
+        "<AngleBasisBlock><ThetaBounds><LowerTheta>0</LowerTheta>"
+        "<UpperTheta>45</UpperTheta></ThetaBounds><nPhis>1</nPhis>"
+        "</AngleBasisBlock>"
+        "<AngleBasisBlock><ThetaBounds><LowerTheta>45</LowerTheta>"
+        "<UpperTheta>90</UpperTheta></ThetaBounds><nPhis>8</nPhis>"
+        "</AngleBasisBlock></AngleBasis>")
+    data = " ".join(["%.8f" % value] * 81)
+    blk = ("<WavelengthData><Wavelength>Visible</Wavelength>"
+           "<WavelengthDataBlock>"
+           "<WavelengthDataDirection>{d}</WavelengthDataDirection>"
+           "<ColumnAngleBasis>MiniBasis</ColumnAngleBasis>"
+           "<RowAngleBasis>MiniBasis</RowAngleBasis>"
+           f"<ScatteringData>{data}</ScatteringData>"
+           "</WavelengthDataBlock></WavelengthData>")
+    path.write_text(
+        "<WindowElement><Optical><Layer><DataDefinition>"
+        "<IncidentDataStructure>Columns</IncidentDataStructure>"
+        + basis + "</DataDefinition>"
+        + blk.format(d="Transmission Front")
+        + blk.format(d="Transmission Back")
+        + "</Layer></Optical></WindowElement>")
+
+
+def test_klems_uniform_transmitter(tmp_path):
+    """A constant-BTDF (1/pi) Klems window in a uniform L=1 environment
+    transmits exactly 1 (furnace-style closure)."""
+    xml = tmp_path / "uniform.xml"
+    _klems_xml(xml, 1.0 / np.pi)
+    scene = json.loads(json.dumps(BASE))
+    scene["camera"]["fov"] = 40
+    scene["shapes"][0]["width"] = 6
+    scene["shapes"][0]["height"] = 6
+    scene["bsdfs"] = [{"type": "klems", "name": "g", "filename": str(xml)}]
+    scene["lights"] = [{"type": "env", "name": "E", "radiance": [1, 1, 1]}]
+    img, rt = _render(scene, spi=64)
+    assert rt.warnings == []
+    assert abs(img.mean() - 1.0) < 0.03

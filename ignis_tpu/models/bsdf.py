@@ -57,8 +57,10 @@ class BsdfKind(IntEnum):
     # RAD_ROOS:  base=(trns_w,p,q) extra=(refl_w,p,q), diffuse as above
     RAD_BRTDF = 9
     RAD_ROOS = 10
-    # Measured (Klems XML): base=base_color extra2=up q6=measured index
+    # Measured (Klems / TensorTree XML): base=base_color extra2=up
+    # q6=measured-table index
     KLEMS = 11
+    TENSORTREE = 12
 
 
 class MatParams(NamedTuple):
@@ -393,14 +395,19 @@ def _rad_sample(mat: MatParams, is_entering, wo: Vec3, u0, cdir: Vec3,
     return BsdfSample(in_dir, pdf, weight, one, pick_spec, valid)
 
 
-def _measured_dispatch(op, mat, frame, is_entering, measured, zero, *args):
-    """Unrolled masked select over the scene's measured BSDF tables."""
+def _measured_dispatch(op, mat, frame, is_entering, measured, zero,
+                       want_type=None, *args):
+    """Unrolled masked select over the scene's measured BSDF tables.
+    `want_type` filters entries by python type (Klems vs TensorTree share
+    the tuple; the material kind keeps the q6 index unambiguous)."""
     from . import klems as klemslib
     kid = mat.q6.astype(jnp.int32)
     up = Vec3(mat.extra2.r, mat.extra2.g, mat.extra2.b)
     kframe = klemslib.make_klems_frame(frame.n, is_entering, up)
     out = zero
     for i, kd in enumerate(measured):
+        if want_type is not None and not isinstance(kd, want_type):
+            continue
         v = op(kd, kframe, *args)
         if isinstance(out, Color):
             out = cselect(kid == i, v, out)
@@ -450,8 +457,16 @@ def eval_bsdf(mat: MatParams, frame: Frame, is_entering, in_dir: Vec3,
         v = _measured_dispatch(
             lambda kd, kf: klemslib.klems_eval(kd, mat.base, kf, in_dir,
                                                out_dir),
-            mat, frame, is_entering, measured, black(mat.p0.shape))
+            mat, frame, is_entering, measured, black(mat.p0.shape),
+            klemslib.KlemsData)
         res = cselect(kinds == BsdfKind.KLEMS, v, res)
+    if measured and _want(present, BsdfKind.TENSORTREE):
+        from . import tensortree as ttlib
+        v = _measured_dispatch(
+            lambda kd, kf: ttlib.tt_eval(kd, mat.base, kf, in_dir, out_dir),
+            mat, frame, is_entering, measured, black(mat.p0.shape),
+            ttlib.TensorTreeData)
+        res = cselect(kinds == BsdfKind.TENSORTREE, v, res)
     if _want(present, BsdfKind.NULL_ERROR):
         err = jnp.maximum(wi.z, 0.0) * INV_PI
         res = cselect(kinds == BsdfKind.NULL_ERROR,
@@ -497,8 +512,16 @@ def pdf_bsdf(mat: MatParams, frame: Frame, is_entering, in_dir: Vec3,
         from . import klems as klemslib
         v = _measured_dispatch(
             lambda kd, kf: klemslib.klems_pdf(kd, kf, in_dir, out_dir),
-            mat, frame, is_entering, measured, jnp.zeros(mat.p0.shape))
+            mat, frame, is_entering, measured, jnp.zeros(mat.p0.shape),
+            klemslib.KlemsData)
         pdf = jnp.where(kinds == BsdfKind.KLEMS, v, pdf)
+    if measured and _want(present, BsdfKind.TENSORTREE):
+        from . import tensortree as ttlib
+        v = _measured_dispatch(
+            lambda kd, kf: ttlib.tt_pdf(kd, kf, in_dir, out_dir),
+            mat, frame, is_entering, measured, jnp.zeros(mat.p0.shape),
+            ttlib.TensorTreeData)
+        pdf = jnp.where(kinds == BsdfKind.TENSORTREE, v, pdf)
     return pdf
 
 
@@ -692,19 +715,31 @@ def sample_bsdf(mat: MatParams, frame: Frame, is_entering, out_dir: Vec3,
             out = sel(BsdfKind.NULL_ERROR, err_s, out)
 
     # --- measured (Klems) ---------------------------------------------------
-    if measured and _want(present, BsdfKind.KLEMS):
-        from . import klems as klemslib
+    if measured:
         zero_t = (Vec3(zero, zero, one), zero,
                   Color(zero, zero, zero), zero > 1)
-        wdir, kpdf, kw, kvalid = _measured_dispatch(
-            lambda kd, kf: klemslib.klems_sample(kd, mat.base, kf, out_dir,
-                                                 u0, u1, u2),
-            mat, frame, is_entering, measured, zero_t)
-        # klems returns a WORLD direction; store it in local so the common
-        # to_world conversion below round-trips
-        klems_s = BsdfSample(frame.to_local(wdir), kpdf, kw, one, false,
-                             kvalid)
-        out = sel(BsdfKind.KLEMS, klems_s, out)
+        if _want(present, BsdfKind.KLEMS):
+            from . import klems as klemslib
+            wdir, kpdf, kw, kvalid = _measured_dispatch(
+                lambda kd, kf: klemslib.klems_sample(kd, mat.base, kf,
+                                                     out_dir, u0, u1, u2),
+                mat, frame, is_entering, measured, zero_t,
+                klemslib.KlemsData)
+            # klems returns a WORLD direction; store it in local so the
+            # common to_world conversion below round-trips
+            klems_s = BsdfSample(frame.to_local(wdir), kpdf, kw, one, false,
+                                 kvalid)
+            out = sel(BsdfKind.KLEMS, klems_s, out)
+        if _want(present, BsdfKind.TENSORTREE):
+            from . import tensortree as ttlib
+            wdir, tpdf, tw, tvalid = _measured_dispatch(
+                lambda kd, kf: ttlib.tt_sample(kd, mat.base, kf, out_dir,
+                                               u0, u1, u2),
+                mat, frame, is_entering, measured, zero_t,
+                ttlib.TensorTreeData)
+            tt_s = BsdfSample(frame.to_local(wdir), tpdf, tw, one, false,
+                              tvalid)
+            out = sel(BsdfKind.TENSORTREE, tt_s, out)
 
     # Convert local direction to world
     return out._replace(in_dir=frame.to_world(out.in_dir))

@@ -416,6 +416,24 @@ def _bsdf_row(obj: SceneObject, texreg: "TextureRegistry",
         except Exception as e:
             warnings.append(f"BSDF '{obj.name}': klems load failed: {e}")
             row["kind"] = int(BsdfKind.NULL_ERROR)
+    elif t == "tensortree":
+        # Measured tensor-tree BSDF (TensorTreeBSDF.cpp); the tree is baked
+        # to dense grids at load (scene/tensortree.py). peakExtraction is
+        # not implemented (documented deviation).
+        from ..models.tensortree import from_numpy as _tt_jnp
+        from .tensortree import load_tensortree
+        try:
+            tnp = load_tensortree(obj.path("filename"))
+            row["kind"] = int(BsdfKind.TENSORTREE)
+            row["q6"] = float(len(texreg.measured))
+            texreg.measured.append(_tt_jnp(tnp))
+            col("base_color", (1, 1, 1))
+            up = np.asarray(obj.get_vec3("up", (0, 0, 1)), np.float64)
+            up = up / max(np.linalg.norm(up), 1e-9)
+            row["extra2"] = up
+        except Exception as e:
+            warnings.append(f"BSDF '{obj.name}': tensortree load failed: {e}")
+            row["kind"] = int(BsdfKind.NULL_ERROR)
     elif t in ("rad_brtdfunc", "rad_roos"):
         # Radiance compliance models (RadBRTDFuncBSDF.cpp / RadRoosBSDF.cpp)
         def _cc(key, default):

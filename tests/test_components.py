@@ -202,3 +202,46 @@ def test_klems_uniform_transmitter(tmp_path):
     img, rt = _render(scene, spi=64)
     assert rt.warnings == []
     assert abs(img.mean() - 1.0) < 0.03
+
+
+def test_tensortree_uniform_transmitter(tmp_path):
+    """A constant-BTDF (1/pi) TensorTree3 window in a unit environment
+    transmits 1 (furnace-style closure over the baked grid path)."""
+    data = "{ %.8f }" % (1.0 / np.pi)
+
+    def blk(d):
+        return ("<WavelengthData><Wavelength>Visible</Wavelength>"
+                "<WavelengthDataBlock>"
+                "<WavelengthDataDirection>" + d + "</WavelengthDataDirection>"
+                "<AngleBasis>LBNL/Shirley-Chiu</AngleBasis>"
+                "<ScatteringData>" + data + "</ScatteringData>"
+                "</WavelengthDataBlock></WavelengthData>")
+
+    xml = tmp_path / "tt.xml"
+    xml.write_text(
+        "<WindowElement><Optical><Layer><DataDefinition>"
+        "<IncidentDataStructure>TensorTree3</IncidentDataStructure>"
+        "</DataDefinition>" + blk("Transmission Front")
+        + blk("Transmission Back")
+        + "</Layer></Optical></WindowElement>")
+    scene = json.loads(json.dumps(BASE))
+    scene["camera"]["fov"] = 40
+    scene["shapes"][0]["width"] = 6
+    scene["shapes"][0]["height"] = 6
+    scene["bsdfs"] = [{"type": "tensortree", "name": "g",
+                       "filename": str(xml)}]
+    scene["lights"] = [{"type": "env", "name": "E", "radiance": [1, 1, 1]}]
+    img, rt = _render(scene, spi=64)
+    assert rt.warnings == []
+    assert abs(img.mean() - 1.0) < 0.03
+
+
+def test_tensortree_octant_bake():
+    from ignis_tpu.scene.tensortree import _bake, _parse_tree
+    txt = "{ " + " ".join("{ %d }" % i for i in range(8)) + " }"
+    t = _parse_tree(txt, 3)
+    g = np.zeros((2, 2, 2), np.float32)
+    _bake(t, g, 3)
+    # child octant bit j <-> axis j upper half
+    assert g[1, 0, 0] == 1 and g[0, 1, 0] == 2 and g[0, 0, 1] == 4
+    assert g[1, 1, 1] == 7

@@ -32,6 +32,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stats", action="store_true")
     p.add_argument("--json", action="store_true",
                    help="Print one summary JSON line")
+    # user parameter injection (ProgramOptions.cpp:151-235)
+    p.add_argument("--Pi", "--parameter-int", nargs=2, action="append",
+                   default=[], metavar=("NAME", "VALUE"),
+                   help="Set integer value in the global registry")
+    p.add_argument("--Pn", "--parameter-num", nargs=2, action="append",
+                   default=[], metavar=("NAME", "VALUE"),
+                   help="Set number value in the global registry")
+    p.add_argument("--Pv", "--parameter-vec", nargs=4, action="append",
+                   default=[], metavar=("NAME", "X", "Y", "Z"),
+                   help="Set vector value in the global registry")
+    p.add_argument("--Pc", "--parameter-col", nargs=4, action="append",
+                   default=[], metavar=("NAME", "R", "G", "B"),
+                   help="Set color value in the global registry")
     return p
 
 
@@ -50,6 +63,18 @@ def main(argv=None) -> int:
 
     t0 = time.time()
     rt = Runtime.load_from_file(args.scene, **overrides)
+    params_set = False
+    for name, v in args.Pi:
+        rt.setParameter(name, int(v))
+        params_set = True
+    for name, v in args.Pn:
+        rt.setParameter(name, float(v))
+        params_set = True
+    for entry in args.Pv + args.Pc:
+        rt.setParameter(entry[0], [float(x) for x in entry[1:]])
+        params_set = True
+    if params_set:
+        rt._refresh_parameters()
     for wmsg in rt.warnings:
         print(f"[warn] {wmsg}", file=sys.stderr)
     load_time = time.time() - t0

@@ -159,7 +159,7 @@ def _render_iteration_impl(scene: SceneData, settings: RenderSettings,
 class Runtime:
     """Progressive rendering session."""
 
-    def __init__(self, built: BuiltScene):
+    def __init__(self, built: BuiltScene, source_scene=None, overrides=None):
         self._built = built
         self.scene = built.data
         self.settings = built.settings
@@ -167,6 +167,9 @@ class Runtime:
         self._iteration = 0
         self._frame = 0
         self._sample_count = 0
+        self._source_scene = source_scene  # parsed scene, for setParameter
+        self._overrides = dict(overrides or {})
+        self._params_dirty = False
         from ..utils.stats import Statistics
         self.stats = Statistics()
 
@@ -174,12 +177,57 @@ class Runtime:
     @staticmethod
     def load_from_file(path, **overrides) -> "Runtime":
         sc = load_from_file(path)
-        return Runtime(build_scene(sc, overrides))
+        return Runtime(build_scene(sc, overrides), sc, overrides)
 
     @staticmethod
     def load_from_string(text, base_dir=".", **overrides) -> "Runtime":
         sc = load_from_string(text, base_dir)
-        return Runtime(build_scene(sc, overrides))
+        return Runtime(build_scene(sc, overrides), sc, overrides)
+
+    # -- runtime parameters (reference Runtime::setParameter) ---------------
+    def setParameter(self, name: str, value):
+        """Set a user/global parameter (reference Runtime.h:134-142).
+
+        Camera parameters (__camera_eye/dir/up) update the traced
+        CameraData pytree directly — no rebuild or recompile. Other
+        parameters feed the PExpr registry; since those bake into compiled
+        closures, the scene is lazily rebuilt before the next step (a
+        recompile happens only for programs that actually read them)."""
+        from ..core.vec import Vec3
+        cam_fields = {"__camera_eye": "eye", "__camera_dir": "dir",
+                      "__camera_up": "up"}
+        if name in cam_fields:
+            v = [float(x) for x in value]
+            vec = Vec3(jnp.float32(v[0]), jnp.float32(v[1]), jnp.float32(v[2]))
+            cam = self.scene.camera._replace(**{cam_fields[name]: vec})
+            self.scene = self.scene._replace(camera=cam)
+            self._built.data = self.scene
+            return
+        if self._source_scene is None:
+            raise RuntimeError("setParameter requires a Runtime constructed "
+                               "from a scene file/string")
+        self._source_scene.parameters[name] = value
+        self._params_dirty = True
+
+    def setCameraOrientation(self, eye, dir, up):
+        """Convenience wrapper (reference setCameraOrientationParameter)."""
+        self.setParameter("__camera_eye", eye)
+        self.setParameter("__camera_dir", dir)
+        self.setParameter("__camera_up", up)
+
+    def getParameter(self, name: str, default=None):
+        if self._source_scene is None:
+            return default
+        return self._source_scene.parameters.get(name, default)
+
+    def _refresh_parameters(self):
+        if not self._params_dirty:
+            return
+        self._params_dirty = False
+        rebuilt = build_scene(self._source_scene, self._overrides)
+        self._built = rebuilt
+        self.scene = rebuilt.data
+        self.settings = rebuilt.settings
 
     # -- properties ---------------------------------------------------------
     @property
@@ -204,6 +252,7 @@ class Runtime:
 
     # -- rendering ----------------------------------------------------------
     def step(self):
+        self._refresh_parameters()
         section = "Iteration" if self._iteration > 0 else "Iteration+Compile"
         with self.stats.section(section):
             if self.settings.technique in ("aept", "adaptive_env"):
@@ -241,6 +290,36 @@ class Runtime:
         return _compiled_aept_sample(self.settings)(
             self.scene, jnp.uint32(self._iteration), jnp.uint32(self._frame),
             self._aept_guiding)
+
+    def saveFramebuffer(self, path, with_aovs: bool = True):
+        """Multilayer EXR dump with ig* metadata
+        (reference Runtime::saveFramebuffer, Runtime.cpp:794): default layer
+        = accumulated color (normalized), AOV layers Normals/Albedo/Depth."""
+        import numpy as np
+        from ..utils.image import write_exr_multilayer
+        layers = {"": np.asarray(self.framebuffer(normalized=True))}
+        if with_aovs:
+            try:
+                for name, img in self.render_aovs().items():
+                    layers[name] = np.asarray(img)
+            except Exception:
+                pass
+        cam = self.scene.camera
+        v3 = lambda v: (float(v.x), float(v.y), float(v.z))
+        metadata = {
+            "igCameraType": self.settings.camera_type,
+            "igTechniqueType": self.settings.technique,
+            "igTarget": "tpu",
+            "igCameraEye": v3(cam.eye),
+            "igCameraUp": v3(cam.up),
+            "igCameraDir": v3(cam.dir),
+            "igSeed": int(self.settings.seed),
+            "igSPP": int(self._sample_count),
+            "igSPI": int(self.settings.spi),
+            "igIteration": int(self._iteration),
+            "igFrame": int(self._frame),
+        }
+        write_exr_multilayer(path, layers, metadata)
 
     def reset(self):
         self._film = None

@@ -557,6 +557,57 @@ def load_mesh_file(path) -> TriMesh:
     raise ValueError(f"Unsupported mesh format: {path}")
 
 
+def save_obj(path, mesh: TriMesh):
+    """Wavefront OBJ writer (igutil convert_ply_obj analog)."""
+    with open(path, "w") as f:
+        f.write("# ignis_tpu mesh\n")
+        for v in mesh.vertices:
+            f.write("v %.9g %.9g %.9g\n" % (v[0], v[1], v[2]))
+        has_n = mesh.normals is not None and len(mesh.normals)
+        has_t = mesh.texcoords is not None and len(mesh.texcoords)
+        if has_n:
+            for n in mesh.normals:
+                f.write("vn %.9g %.9g %.9g\n" % (n[0], n[1], n[2]))
+        if has_t:
+            for t in mesh.texcoords:
+                f.write("vt %.9g %.9g\n" % (t[0], t[1]))
+        for tri in mesh.indices:
+            idx = [i + 1 for i in tri]
+            if has_n and has_t:
+                f.write("f %d/%d/%d %d/%d/%d %d/%d/%d\n" % (
+                    idx[0], idx[0], idx[0], idx[1], idx[1], idx[1],
+                    idx[2], idx[2], idx[2]))
+            elif has_n:
+                f.write("f %d//%d %d//%d %d//%d\n" % (
+                    idx[0], idx[0], idx[1], idx[1], idx[2], idx[2]))
+            else:
+                f.write("f %d %d %d\n" % tuple(idx))
+
+
+def save_ply(path, mesh: TriMesh):
+    """Binary little-endian PLY writer (igutil convert_obj_ply analog)."""
+    mesh.ensure_attributes()
+    n_v = len(mesh.vertices)
+    n_f = len(mesh.indices)
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element vertex {n_v}",
+              "property float x", "property float y", "property float z",
+              "property float nx", "property float ny", "property float nz",
+              "property float u", "property float v",
+              f"element face {n_f}",
+              "property list uchar int vertex_indices", "end_header"]
+    with open(path, "wb") as f:
+        f.write(("\n".join(header) + "\n").encode())
+        inter = np.hstack([mesh.vertices.astype("<f4"),
+                           mesh.normals.astype("<f4"),
+                           mesh.texcoords.astype("<f4")])
+        f.write(inter.tobytes())
+        faces = np.empty((n_f, 13), np.uint8)
+        faces[:, 0] = 3
+        faces[:, 1:] = mesh.indices.astype("<i4").view(np.uint8).reshape(n_f, 12)
+        f.write(faces.tobytes())
+
+
 # ---------------------------------------------------------------------------
 # Analytic gaussian shapes (reference TriMesh.cpp:1131 MakeRadialGaussian,
 # :1187 MakeGaussianLobe)

@@ -37,6 +37,10 @@ def load_image(path) -> np.ndarray:
     cv2 = _cv2()
     img = cv2.imread(path, cv2.IMREAD_UNCHANGED | cv2.IMREAD_ANYDEPTH
                      | cv2.IMREAD_ANYCOLOR)
+    if img is None and Path(path).suffix.lower() == ".exr":
+        # cv2 rejects multilayer/odd-channel EXRs; use the builtin reader
+        from .exr import load_exr_rgb
+        return np.ascontiguousarray(load_exr_rgb(path), np.float32)
     if img is None:
         raise IOError(f"Cannot load image {path}")
     if img.ndim == 2:
@@ -72,10 +76,52 @@ def save_image(path, img: np.ndarray):
         cv2.imwrite(path, np.ascontiguousarray(ldr[..., ::-1]))
 
 
+def write_exr_multilayer(path, layers, metadata=None):
+    """Scanline ZIP EXR with multiple RGB layers + ig* metadata attributes
+    (reference Image.cpp:975 / Runtime::saveFramebuffer layer naming:
+    default layer channels R/G/B, AOV layers Name.R/Name.G/Name.B).
+
+    layers: dict name -> [h, w, 3] float array ("" = default layer)
+    metadata: dict name -> str | int | float | (x, y, z)
+    """
+    first = next(iter(layers.values()))
+    h, w = first.shape[0], first.shape[1]
+    channels = []
+    for lname, img in layers.items():
+        img = np.asarray(img, np.float32)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        prefix = f"{lname}." if lname else ""
+        channels += [(prefix + "B", img[..., 2]), (prefix + "G", img[..., 1]),
+                     (prefix + "R", img[..., 0])]
+    channels.sort(key=lambda c: c[0])  # EXR requires sorted channel names
+
+    def attr(name, type_, data):
+        return (name.encode() + b"\0" + type_.encode() + b"\0"
+                + struct.pack("<I", len(data)) + data)
+
+    meta_attrs = b""
+    for name, value in (metadata or {}).items():
+        if isinstance(value, str):
+            meta_attrs += attr(name, "string", value.encode())
+        elif isinstance(value, bool) or isinstance(value, (int, np.integer)):
+            meta_attrs += attr(name, "int", struct.pack("<i", int(value)))
+        elif isinstance(value, (float, np.floating)):
+            meta_attrs += attr(name, "float", struct.pack("<f", float(value)))
+        elif isinstance(value, (tuple, list, np.ndarray)) and len(value) == 3:
+            meta_attrs += attr(name, "v3f",
+                               struct.pack("<fff", *[float(x) for x in value]))
+    _write_exr_channels(path, w, h, channels, meta_attrs)
+
+
 def _write_exr_fallback(path, img: np.ndarray):
     """Minimal scanline ZIP-compressed EXR writer (float32 RGB)."""
     h, w, _ = img.shape
     channels = [("B", img[..., 2]), ("G", img[..., 1]), ("R", img[..., 0])]
+    _write_exr_channels(path, w, h, channels, b"")
+
+
+def _write_exr_channels(path, w, h, channels, extra_attrs):
 
     def attr(name, type_, data):
         return (name.encode() + b"\0" + type_.encode() + b"\0"
@@ -95,6 +141,7 @@ def _write_exr_fallback(path, img: np.ndarray):
     header += attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
     header += attr("screenWindowCenter", "v2f", struct.pack("<ff", 0, 0))
     header += attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    header += extra_attrs
     header += b"\0"
 
     # ZIP compression groups 16 scanlines per block

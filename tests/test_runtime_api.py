@@ -1,0 +1,89 @@
+"""Runtime API surface: setParameter registry, multilayer EXR save,
+mesh writers, igutil-style converters."""
+import json
+
+import numpy as np
+
+import ignis_tpu
+from ignis_tpu.scene import mesh as meshlib
+
+SCENE = {
+    "technique": {"type": "path", "max_depth": 3},
+    "camera": {"type": "perspective", "fov": 60,
+               "transform": [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, -2]},
+    "film": {"size": [16, 16]},
+    "parameters": {"tint": 0.2},
+    "textures": [{"type": "expr", "name": "refl",
+                  "expr": "vec3(tint, tint, tint)"}],
+    "bsdfs": [{"type": "diffuse", "name": "g", "reflectance": "refl"}],
+    "shapes": [{"type": "rectangle", "name": "B", "width": 4, "height": 4,
+                "flip_normals": True}],
+    "entities": [{"name": "B", "shape": "B", "bsdf": "g"}],
+    "lights": [{"type": "point", "name": "P", "position": [0, 1, -1.5],
+                "intensity": [8, 8, 8]}],
+}
+
+
+def test_set_parameter_rebuild_and_camera():
+    rt = ignis_tpu.loadFromString(json.dumps(SCENE), spi=8)
+    rt.step()
+    a = np.asarray(rt.framebuffer(normalized=True)).mean()
+    # PExpr registry parameter: lazily rebuilt scene, 4x reflectance
+    rt.setParameter("tint", 0.8)
+    rt.reset()
+    rt.step()
+    b = np.asarray(rt.framebuffer(normalized=True)).mean()
+    assert abs(b / a - 4.0) < 0.01
+    assert rt.getParameter("tint") == 0.8
+    # camera parameter: pytree update, no rebuild
+    rt.setParameter("__camera_eye", [0, 0, -4])
+    rt.reset()
+    rt.step()
+    c = np.asarray(rt.framebuffer(normalized=True)).mean()
+    assert abs(c - b) > 1e-4
+
+
+def test_save_framebuffer_multilayer(tmp_path):
+    from ignis_tpu.utils.exr import read_exr
+    rt = ignis_tpu.loadFromString(json.dumps(SCENE), spi=8)
+    rt.step()
+    out = tmp_path / "multi.exr"
+    rt.saveFramebuffer(str(out))
+    chans, (w, h) = read_exr(str(out))
+    assert {"R", "G", "B"} <= set(chans)
+    assert "Normals.R" in chans and "Albedo.R" in chans
+    fb = np.asarray(rt.framebuffer(normalized=True))
+    assert np.allclose(chans["R"], fb[..., 0], atol=1e-6)
+    raw = out.read_bytes()
+    for key in (b"igCameraEye", b"igTechniqueType", b"igSPP"):
+        assert key in raw
+
+
+def test_mesh_writers_roundtrip(tmp_path):
+    m = meshlib.make_ico_sphere((0, 0, 0), 1.0, 2)
+    m.ensure_attributes()
+    obj_p, ply_p = tmp_path / "s.obj", tmp_path / "s.ply"
+    meshlib.save_obj(obj_p, m)
+    meshlib.save_ply(ply_p, m)
+    m2 = meshlib.load_obj(obj_p)
+    m3 = meshlib.load_ply(ply_p)
+    # the OBJ loader re-indexes vertices; compare as sorted point sets
+    def canon(v):
+        return v[np.lexsort(v.T)]
+    assert np.allclose(canon(m.vertices), canon(m2.vertices), atol=1e-5)
+    assert m2.indices.shape == m.indices.shape
+    assert np.allclose(m.vertices, m3.vertices, atol=1e-5)
+    assert np.allclose(m.normals, m3.normals, atol=1e-5)
+
+
+def test_util_cli_convert(tmp_path):
+    from ignis_tpu.util_cli import main
+    m = meshlib.make_box((0, 0, 0), np.array([1, 0, 0]),
+                         np.array([0, 1, 0]), np.array([0, 0, 1]))
+    m.ensure_attributes()
+    src = tmp_path / "b.ply"
+    dst = tmp_path / "b.obj"
+    meshlib.save_ply(src, m)
+    assert main(["convert", str(src), str(dst)]) == 0
+    m2 = meshlib.load_obj(dst)
+    assert len(m2.vertices) == len(m.vertices)

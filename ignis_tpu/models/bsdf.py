@@ -61,6 +61,8 @@ class BsdfKind(IntEnum):
     # q6=measured-table index
     KLEMS = 11
     TENSORTREE = 12
+    # Measured (Dupuy-Jakob .bsdf): base=tint q6=measured index
+    DJMEASURED = 13
 
 
 class MatParams(NamedTuple):
@@ -467,6 +469,16 @@ def eval_bsdf(mat: MatParams, frame: Frame, is_entering, in_dir: Vec3,
             mat, frame, is_entering, measured, black(mat.p0.shape),
             ttlib.TensorTreeData)
         res = cselect(kinds == BsdfKind.TENSORTREE, v, res)
+    if measured and _want(present, BsdfKind.DJMEASURED):
+        from . import djmeasured as djlib
+        kid = mat.q6.astype(jnp.int32)
+        v = black(mat.p0.shape)
+        for i, kd in enumerate(measured):
+            if not isinstance(kd, djlib.DJData):
+                continue
+            c = djlib.dj_eval(kd, mat.base, wi, wo)
+            v = cselect(kid == i, c, v)
+        res = cselect(kinds == BsdfKind.DJMEASURED, v, res)
     if _want(present, BsdfKind.NULL_ERROR):
         err = jnp.maximum(wi.z, 0.0) * INV_PI
         res = cselect(kinds == BsdfKind.NULL_ERROR,
@@ -522,6 +534,15 @@ def pdf_bsdf(mat: MatParams, frame: Frame, is_entering, in_dir: Vec3,
             mat, frame, is_entering, measured, jnp.zeros(mat.p0.shape),
             ttlib.TensorTreeData)
         pdf = jnp.where(kinds == BsdfKind.TENSORTREE, v, pdf)
+    if measured and _want(present, BsdfKind.DJMEASURED):
+        from . import djmeasured as djlib
+        kid = mat.q6.astype(jnp.int32)
+        v = jnp.zeros(mat.p0.shape)
+        for i, kd in enumerate(measured):
+            if not isinstance(kd, djlib.DJData):
+                continue
+            v = jnp.where(kid == i, djlib.dj_pdf(kd, wi, wo), v)
+        pdf = jnp.where(kinds == BsdfKind.DJMEASURED, v, pdf)
     return pdf
 
 
@@ -740,6 +761,25 @@ def sample_bsdf(mat: MatParams, frame: Frame, is_entering, out_dir: Vec3,
             tt_s = BsdfSample(frame.to_local(wdir), tpdf, tw, one, false,
                               tvalid)
             out = sel(BsdfKind.TENSORTREE, tt_s, out)
+        if _want(present, BsdfKind.DJMEASURED):
+            from . import djmeasured as djlib
+            kid = mat.q6.astype(jnp.int32)
+            dj_dir = Vec3(zero, zero, one)
+            dj_pdf_v = zero
+            dj_w = Color(zero, zero, zero)
+            dj_valid = zero > 1
+            for i, kd in enumerate(measured):
+                if not isinstance(kd, djlib.DJData):
+                    continue
+                wi_s, p_s, w_s, v_s = djlib.dj_sample(kd, mat.base, wo,
+                                                      u0, u1, u2)
+                m = kid == i
+                dj_dir = vselect(m, wi_s, dj_dir)
+                dj_pdf_v = jnp.where(m, p_s, dj_pdf_v)
+                dj_w = cselect(m, w_s, dj_w)
+                dj_valid = jnp.where(m, v_s, dj_valid)
+            dj_s = BsdfSample(dj_dir, dj_pdf_v, dj_w, one, false, dj_valid)
+            out = sel(BsdfKind.DJMEASURED, dj_s, out)
 
     # Convert local direction to world
     return out._replace(in_dir=frame.to_world(out.in_dir))

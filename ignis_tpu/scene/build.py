@@ -434,6 +434,20 @@ def _bsdf_row(obj: SceneObject, texreg: "TextureRegistry",
         except Exception as e:
             warnings.append(f"BSDF '{obj.name}': tensortree load failed: {e}")
             row["kind"] = int(BsdfKind.NULL_ERROR)
+    elif t == "djmeasured":
+        # Dupuy-Jakob measured BRDF (DJMeasuredBSDF.cpp); powitacq tensor
+        # file baked to per-theta_i tables (scene/djmeasured.py)
+        from ..models.djmeasured import from_numpy as _dj_jnp
+        from .djmeasured import load_djmeasured
+        try:
+            dnp = load_djmeasured(obj.path("filename"))
+            row["kind"] = int(BsdfKind.DJMEASURED)
+            row["q6"] = float(len(texreg.measured))
+            texreg.measured.append(_dj_jnp(dnp))
+            col("tint", (1, 1, 1))
+        except Exception as e:
+            warnings.append(f"BSDF '{obj.name}': djmeasured load failed: {e}")
+            row["kind"] = int(BsdfKind.NULL_ERROR)
     elif t in ("rad_brtdfunc", "rad_roos"):
         # Radiance compliance models (RadBRTDFuncBSDF.cpp / RadRoosBSDF.cpp)
         def _cc(key, default):

@@ -245,3 +245,55 @@ def test_tensortree_octant_bake():
     # child octant bit j <-> axis j upper half
     assert g[1, 0, 0] == 1 and g[0, 1, 0] == 2 and g[0, 0, 1] == 4
     assert g[1, 1, 1] == 7
+
+
+def _write_tensor_file(path, fields):
+    names = list(fields)
+    header = (b"tensor_file\x00" + bytes([1, 0])
+              + struct.pack("<I", len(names)))
+    pos = len(header)
+    for n in names:
+        pos += 2 + len(n) + 2 + 1 + 8 + 8 * fields[n].ndim
+    metas = []
+    for n in names:
+        a = fields[n]
+        dt = {np.dtype(np.uint8): 1, np.dtype(np.float32): 10}[a.dtype]
+        metas.append((n, a, dt, pos))
+        pos += a.nbytes
+    out = bytearray(header)
+    for n, a, dt, off in metas:
+        out += struct.pack("<H", len(n)) + n.encode()
+        out += struct.pack("<HB", a.ndim, dt) + struct.pack("<Q", off)
+        for s in a.shape:
+            out += struct.pack("<Q", s)
+    for n, a, dt, off in metas:
+        out += a.tobytes()
+    path.write_bytes(bytes(out))
+
+
+def test_djmeasured_diffuse_matches_lambert(tmp_path):
+    """A powitacq tensor file encoding a perfect lambertian (ndf=1,
+    sigma=1/4, rgb=rho/pi) must render exactly like the diffuse BSDF."""
+    T, R, rho = 8, 16, 0.8
+    fields = {
+        "theta_i": np.linspace(0, np.pi / 2 * 0.98, T).astype(np.float32),
+        "phi_i": np.array([-np.pi, np.pi], np.float32),
+        "ndf": np.ones((R, R), np.float32),
+        "sigma": np.full((R, R), 0.25, np.float32),
+        "vndf": np.ones((2, T, R, R), np.float32),
+        "luminance": np.ones((2, T, R, R), np.float32),
+        "rgb": np.full((2, T, 3, R, R), rho / np.pi, np.float32),
+        "jacobian": np.zeros((1,), np.uint8),
+    }
+    p = tmp_path / "diffuse.bsdf"
+    _write_tensor_file(p, fields)
+    scene = json.loads(json.dumps(BASE))
+    scene["bsdfs"] = [{"type": "djmeasured", "name": "g",
+                       "filename": str(p)}]
+    a, rt = _render(scene, spi=32)
+    assert rt.warnings == []
+    ref = json.loads(json.dumps(BASE))
+    ref["bsdfs"] = [{"type": "diffuse", "name": "g",
+                     "reflectance": [rho] * 3}]
+    b, _ = _render(ref, spi=32)
+    assert abs(a.mean() - b.mean()) / b.mean() < 0.01

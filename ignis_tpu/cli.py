@@ -29,6 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spp-mode", choices=["fixed", "capped"], default="fixed")
     p.add_argument("--timeout", type=float, default=0.0,
                    help="Render time budget in seconds (0 = unlimited)")
+    p.add_argument("--denoise", action="store_true",
+                   help="AOV-guided denoise before writing the output")
     p.add_argument("--stats", action="store_true")
     p.add_argument("--json", action="store_true",
                    help="Print one summary JSON line")
@@ -93,7 +95,8 @@ def main(argv=None) -> int:
         if args.timeout > 0 and time.time() - t_start > args.timeout:
             break
 
-    img = rt.framebuffer(normalized=True)
+    img = (rt.denoised_framebuffer() if args.denoise
+           else rt.framebuffer(normalized=True))
     save_image(args.output, img)
 
     # First iteration includes compile; report steady-state like the

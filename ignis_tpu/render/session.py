@@ -291,6 +291,18 @@ class Runtime:
             self.scene, jnp.uint32(self._iteration), jnp.uint32(self._frame),
             self._aept_guiding)
 
+    def denoised_framebuffer(self):
+        """AOV-guided denoised image (reference: OIDN behind Runtime::step;
+        here an on-device a-trous filter, render/denoise.py)."""
+        import numpy as np
+        from .denoise import denoise_image
+        color = jnp.asarray(np.asarray(self.framebuffer(normalized=True)))
+        aovs = self.render_aovs()
+        out = denoise_image(color, jnp.asarray(aovs["Normals"]),
+                            jnp.asarray(aovs["Albedo"]),
+                            jnp.asarray(aovs["Depth"]))
+        return np.asarray(out)
+
     def saveFramebuffer(self, path, with_aovs: bool = True):
         """Multilayer EXR dump with ig* metadata
         (reference Runtime::saveFramebuffer, Runtime.cpp:794): default layer

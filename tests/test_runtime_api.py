@@ -87,3 +87,19 @@ def test_util_cli_convert(tmp_path):
     assert main(["convert", str(src), str(dst)]) == 0
     m2 = meshlib.load_obj(dst)
     assert len(m2.vertices) == len(m.vertices)
+
+
+def test_denoiser_reduces_mse():
+    scene = json.loads(json.dumps(SCENE))
+    scene["film"]["size"] = [48, 48]
+    rt = ignis_tpu.loadFromString(json.dumps(scene), spi=1)
+    rt.step()
+    noisy = np.asarray(rt.framebuffer(normalized=True))
+    den = rt.denoised_framebuffer()
+    ref_rt = ignis_tpu.loadFromString(json.dumps(scene), spi=256)
+    ref_rt.step()
+    ref = np.asarray(ref_rt.framebuffer(normalized=True))
+    mse_noisy = ((noisy - ref) ** 2).mean()
+    mse_den = ((den - ref) ** 2).mean()
+    assert np.isfinite(den).all()
+    assert mse_den < mse_noisy  # AOV-guided a-trous filter helps

@@ -90,8 +90,18 @@ def test_util_cli_convert(tmp_path):
 
 
 def test_denoiser_reduces_mse():
+    # area light -> NEE is stochastic, so a 1-spi render is actually noisy
+    # (a point-light scene would be noise-free and only pick up filter bias)
     scene = json.loads(json.dumps(SCENE))
     scene["film"]["size"] = [48, 48]
+    scene["bsdfs"].append({"type": "diffuse", "name": "black",
+                           "reflectance": [0, 0, 0]})
+    scene["shapes"].append({"type": "rectangle", "name": "L",
+                            "width": 0.5, "height": 0.5})
+    scene["entities"].append({"name": "L", "shape": "L", "bsdf": "black",
+                              "transform": [{"translate": [1.5, 0, -1.0]}]})
+    scene["lights"] = [{"type": "area", "name": "L", "entity": "L",
+                        "radiance": [10, 10, 10]}]
     rt = ignis_tpu.loadFromString(json.dumps(scene), spi=1)
     rt.step()
     noisy = np.asarray(rt.framebuffer(normalized=True))

@@ -983,10 +983,15 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
     BVH_THRESHOLD = 4096
     if n_tris >= BVH_THRESHOLD:
         from ..bvh.builder import build_bvh8
+        from ..native import build_bvh8_native
         _v0 = np.asarray(tri_v0, np.float32).reshape(-1, 3)
         _e1 = np.asarray(tri_e1, np.float32).reshape(-1, 3)
         _e2 = np.asarray(tri_e2, np.float32).reshape(-1, 3)
-        bvh_np = build_bvh8(_v0, _e1, _e2)
+        # C++ builder when the toolchain is available (native/), numpy
+        # fallback otherwise — identical output layout
+        bvh_np = build_bvh8_native(_v0, _e1, _e2)
+        if bvh_np is None:
+            bvh_np = build_bvh8(_v0, _e1, _e2)
         perm = bvh_np.prim_order
         inv_perm = np.empty_like(perm)
         inv_perm[perm] = np.arange(len(perm), dtype=np.int32)

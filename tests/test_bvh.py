@@ -99,3 +99,33 @@ def test_scene_level_bvh():
     assert np.isfinite(img).all()
     # sphere center should be lit (diffuse under white env)
     assert 0.3 < img[24, 24].mean() < 1.1
+
+
+def test_native_builder_matches_layout():
+    """C++ builder produces a valid BVH8: full one-time leaf coverage and
+    in-range child references (skipped when the toolchain is missing)."""
+    import numpy as np
+    import pytest
+    from ignis_tpu.bvh.builder import decode_leaf
+    from ignis_tpu.native import build_bvh8_native
+    rng = np.random.default_rng(7)
+    n = 5000
+    v0 = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    e1 = rng.uniform(-0.3, 0.3, (n, 3)).astype(np.float32)
+    e2 = rng.uniform(-0.3, 0.3, (n, 3)).astype(np.float32)
+    b = build_bvh8_native(v0, e1, e2)
+    if b is None:
+        pytest.skip("native toolchain unavailable")
+    assert sorted(b.prim_order.tolist()) == list(range(n))
+    cover = np.zeros(n, bool)
+    n_nodes = b.child.shape[0]
+    for node in range(n_nodes):
+        for j in range(8):
+            c = int(b.child[node, j])
+            if c < 0:
+                s, cnt = decode_leaf(c)
+                assert 1 <= cnt <= 4 and not cover[s:s + cnt].any()
+                cover[s:s + cnt] = True
+            elif c > 0:
+                assert c < n_nodes
+    assert cover.all()

@@ -84,7 +84,15 @@ def loss_fn(diff_materials, scene: SceneData, settings: RenderSettings,
     rendering / gradient path for the BASELINE north star)."""
     scene = scene._replace(materials=scene.materials._replace(
         base=diff_materials["base"]))
+    import dataclasses
+
     from ..render.session import render_iteration
+
+    # The forward-only progressive renderer uses an early-exit while_loop,
+    # which reverse-mode AD cannot differentiate; route the gradient path
+    # through the rematerialized lax.scan variant instead.
+    if not settings.remat:
+        settings = dataclasses.replace(settings, remat=True)
     img = render_iteration(scene, settings, iteration, frame)
     return jnp.mean((img - target) ** 2)
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 from enum import IntEnum
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core.cdf import CDF2D, pdf_cdf_2d, sample_cdf_2d
@@ -317,15 +318,134 @@ def select_cdf(lights: Lights, n_lights: int, u):
     return idx, pdf
 
 
-def select_light(settings, lights: Lights, u):
+def _hier_cost(lights: Lights, idx, pos: Vec3):
+    """Importance of a hierarchy entry from `pos`
+    (light_hierarchy.art get_entry_cost: flux * cos / dist^2)."""
+    ex = lights.hier_pos.x[idx] - pos.x
+    ey = lights.hier_pos.y[idx] - pos.y
+    ez = lights.hier_pos.z[idx] - pos.z
+    dist2 = jnp.maximum(ex * ex + ey * ey + ez * ez, 1e-9)
+    inv_l = 1.0 / jnp.sqrt(dist2)
+    cos_d = jnp.abs((lights.hier_dir.x[idx] * ex + lights.hier_dir.y[idx] * ey
+                     + lights.hier_dir.z[idx] * ez) * inv_l)
+    cos_d = jnp.where(lights.hier_has_dir[idx], cos_d, 1.0)
+    return safe_div(lights.hier_flux[idx] * cos_d, dist2)
+
+
+def _hier_left_prob(lights: Lights, left, right, pos: Vec3):
+    cl = _hier_cost(lights, left, pos)
+    cr = _hier_cost(lights, right, pos)
+    return jnp.clip(safe_div(1.0, 1.0 + safe_div(cr, jnp.maximum(cl, 1e-30))),
+                    1e-4, 1.0 - 1e-4)
+
+
+def select_hierarchy(lights: Lights, u, pos: Vec3):
+    """Stochastic top-down traversal (light_hierarchy.art sample_light_id);
+    the single uniform is rescaled at every split."""
+    n = jnp.shape(u)
+    idx0 = jnp.zeros(n, jnp.int32)
+
+    def cond(carry):
+        idx, pdf, uu = carry
+        return jnp.any(lights.hier_child[idx] < 0)
+
+    def body(carry):
+        idx, pdf, uu = carry
+        child = lights.hier_child[idx]
+        inner = child < 0
+        left = jnp.where(inner, -child - 1, idx)
+        right = left + 1
+        pl = _hier_left_prob(lights, left, right, pos)
+        go_left = uu < pl
+        uu2 = jnp.where(go_left, uu / pl, (uu - pl) / (1.0 - pl))
+        uu2 = jnp.clip(uu2, 0.0, 1.0 - 1e-7)
+        new_idx = jnp.where(inner, jnp.where(go_left, left, right), idx)
+        new_pdf = jnp.where(inner, pdf * jnp.where(go_left, pl, 1.0 - pl),
+                            pdf)
+        return (new_idx, new_pdf, jnp.where(inner, uu2, uu))
+
+    idx, pdf, _ = jax.lax.while_loop(
+        cond, body, (idx0, jnp.ones(n, jnp.float32), u))
+    return lights.hier_child[idx], pdf
+
+
+def hierarchy_pdf(lights: Lights, light_row, pos: Vec3):
+    """Deterministic re-descent by the light's path code
+    (light_hierarchy.art compute_pdf)."""
+    n = jnp.shape(light_row)
+    code = lights.hier_code[jnp.clip(light_row, 0, None)]
+    idx0 = jnp.zeros(n, jnp.int32)
+
+    def cond(carry):
+        idx, pdf, depth = carry
+        return jnp.any(lights.hier_child[idx] < 0)
+
+    def body(carry):
+        idx, pdf, depth = carry
+        child = lights.hier_child[idx]
+        inner = child < 0
+        left = jnp.where(inner, -child - 1, idx)
+        right = left + 1
+        pl = _hier_left_prob(lights, left, right, pos)
+        go_left = ((code >> depth) & 1) == 0
+        new_idx = jnp.where(inner, jnp.where(go_left, left, right), idx)
+        new_pdf = jnp.where(inner, pdf * jnp.where(go_left, pl, 1.0 - pl),
+                            pdf)
+        return (new_idx, new_pdf, depth + jnp.where(inner, 1, 0))
+
+    _, pdf, _ = jax.lax.while_loop(
+        cond, body, (idx0, jnp.ones(n, jnp.float32), jnp.zeros(n, jnp.int32)))
+    return pdf
+
+
+def _hierarchy_available(settings, lights: Lights) -> bool:
+    return (getattr(settings, "light_selector", "uniform") == "hierarchy"
+            and lights.hier_child.shape[0] > 0 and settings.n_lights > 0)
+
+
+def select_light(settings, lights: Lights, u, pos: Vec3 = None):
+    if _hierarchy_available(settings, lights):
+        n_inf = len(settings.infinite_light_rows)
+        if pos is None:
+            pos = Vec3(jnp.zeros(jnp.shape(u)), jnp.zeros(jnp.shape(u)),
+                       jnp.zeros(jnp.shape(u)))
+        if n_inf == 0:
+            return select_hierarchy(lights, u, pos)
+        if n_inf >= settings.n_lights:  # only infinite lights
+            return select_uniform(settings.n_lights, u)
+        # 50/50 infinite/finite split (light_selector.art:91)
+        ratio = 0.5
+        pick_inf = u < ratio
+        u_inf = jnp.clip(u / ratio, 0.0, 1.0 - 1e-7)
+        u_fin = jnp.clip((u - ratio) / (1.0 - ratio), 0.0, 1.0 - 1e-7)
+        inf_rows = jnp.asarray(settings.infinite_light_rows, jnp.int32)
+        i_idx = inf_rows[jnp.clip((u_inf * n_inf).astype(jnp.int32),
+                                  0, n_inf - 1)]
+        h_idx, h_pdf = select_hierarchy(lights, u_fin, pos)
+        idx = jnp.where(pick_inf, i_idx, h_idx)
+        pdf = jnp.where(pick_inf, ratio / n_inf, h_pdf * (1.0 - ratio))
+        return idx, pdf
     if getattr(settings, "light_selector", "uniform") == "cdf" \
             and lights.select_cdf.shape[0] == settings.n_lights:
         return select_cdf(lights, settings.n_lights, u)
     return select_uniform(settings.n_lights, u)
 
 
-def selector_pdf(settings, lights: Lights, light_row):
+def selector_pdf(settings, lights: Lights, light_row, pos: Vec3 = None):
     """Selection pdf of a specific light row (for MIS on emission hits)."""
+    if _hierarchy_available(settings, lights):
+        n_inf = len(settings.infinite_light_rows)
+        if pos is None:
+            z = jnp.zeros(jnp.shape(light_row), jnp.float32)
+            pos = Vec3(z, z, z)
+        if n_inf >= settings.n_lights:
+            return jnp.full(jnp.shape(light_row),
+                            1.0 / max(settings.n_lights, 1), jnp.float32)
+        h_pdf = hierarchy_pdf(lights, light_row, pos)
+        if n_inf == 0:
+            return h_pdf
+        is_inf = lights.infinite[jnp.clip(light_row, 0, None)]
+        return jnp.where(is_inf, 0.5 / n_inf, h_pdf * 0.5)
     if getattr(settings, "light_selector", "uniform") == "cdf" \
             and lights.select_cdf.shape[0] == settings.n_lights:
         idx = jnp.clip(light_row, 0, settings.n_lights - 1)

@@ -1113,8 +1113,72 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
     fluxes = np.asarray([max(light_flux(r), 1e-8) for r in l_rows], np.float64)
     select_cdf = np.cumsum(fluxes) / fluxes.sum()
 
+    # Light hierarchy over finite lights (LightHierarchy.cpp): balanced
+    # median-split tree, sibling-adjacent layout (right = left + 1),
+    # per-light path codes for the pdf backtrack.
+    def _light_centroid(r):
+        if r["kind"] == int(LightKind.AREA) and int(r["tri_count"]) > 0:
+            s, c = int(r["tri_start"]), int(r["tri_count"])
+            ids = [int(area_tris[s + k]) for k in range(c)]
+            cen = [np.asarray(tri_v0[t], np.float64)
+                   + (np.asarray(tri_e1[t], np.float64)
+                      + np.asarray(tri_e2[t], np.float64)) / 3.0
+                   for t in ids]
+            return np.mean(cen, axis=0)
+        return np.asarray(r["pos"], np.float64).reshape(3)
+
+    h_entries: List = []  # (pos, dir, flux, has_dir, child)
+    h_codes = np.zeros(len(l_rows), np.int32)
+    finite_rows = [i for i, r in enumerate(l_rows)
+                   if not r["infinite"] and n_lights > 0]
+    if finite_rows:
+        h_pos = {i: _light_centroid(l_rows[i]) for i in finite_rows}
+
+        def _emit_into(rows, slot, code, depth):
+            if len(rows) == 1:
+                i = rows[0]
+                r = l_rows[i]
+                has_dir = r["kind"] == int(LightKind.SPOT)
+                h_codes[i] = code
+                h_entries[slot] = (h_pos[i],
+                                   np.asarray(r["dir"], np.float64).reshape(3),
+                                   float(fluxes[i]), has_dir, i)
+                return h_entries[slot]
+            ps = np.asarray([h_pos[i] for i in rows])
+            axis = int(np.argmax(ps.max(0) - ps.min(0)))
+            order = np.argsort(ps[:, axis], kind="stable")
+            mid = len(rows) // 2
+            left_rows = [rows[k] for k in order[:mid]]
+            right_rows = [rows[k] for k in order[mid:]]
+            li = len(h_entries)
+            h_entries.extend([None, None])
+            le = _emit_into(left_rows, li, code, depth + 1)
+            re = _emit_into(right_rows, li + 1, code | (1 << depth),
+                            depth + 1)
+            d = le[1] + re[1]
+            dn = np.linalg.norm(d)
+            agg = ((le[0] + re[0]) * 0.5,
+                   d / dn if dn > 1e-9 else np.array([0.0, 0.0, 1.0]),
+                   le[2] + re[2], le[3] and re[3], -(li + 1))
+            h_entries[slot] = agg
+            return agg
+
+        h_entries.append(None)
+        _emit_into(finite_rows, 0, 0, 0)
+
+    def _hcol(j, dtype=np.float32):
+        return np.asarray([e[j] for e in h_entries] or [0], dtype)
+
     lights = Lights(
         select_cdf=jnp.asarray(select_cdf.astype(np.float32)),
+        hier_pos=soa3(np.asarray([e[0] for e in h_entries]
+                                 or [[0, 0, 0]], np.float32)),
+        hier_dir=soa3(np.asarray([e[1] for e in h_entries]
+                                 or [[0, 0, 1]], np.float32)),
+        hier_flux=jnp.asarray(_hcol(2)),
+        hier_has_dir=jnp.asarray(_hcol(3, bool)),
+        hier_child=jnp.asarray(_hcol(4, np.int32)),
+        hier_code=jnp.asarray(h_codes),
         kind=jnp.asarray(lcol("kind").astype(np.int32)),
         pos=soa3(lcol("pos")), dir=soa3(lcol("dir")),
         intensity=Color(*[jnp.asarray(lcol("intensity")[:, i]) for i in range(3)]),
@@ -1185,11 +1249,8 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         spi=int(overrides.get("spi", 1)), seed=int(overrides.get("seed", 0)),
         pixel_sampler=str(overrides.get("pixel_sampler", "uniform")),
         camera_type=cam_type, fish_mode=fish_mode,
-        light_selector={"hierarchy": "cdf"}.get(
-            (tech.get_string("light_selector", "uniform") or "uniform")
-            if tech else "uniform",
-            (tech.get_string("light_selector", "uniform") or "uniform")
-            if tech else "uniform"),
+        light_selector=(tech.get_string("light_selector", "uniform")
+                        or "uniform") if tech else "uniform",
         infinite_light_rows=infinite_rows, n_lights=n_lights,
         texture_descs=tuple(texreg.descs),
         medium_exprs=tuple(med_exprs),

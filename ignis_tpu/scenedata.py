@@ -115,6 +115,17 @@ class Lights(NamedTuple):
     area_cdf: jnp.ndarray   # [AT] f32 inclusive CDF within each light segment
     # flux-weighted light-selection CDF over all lights ([0] if unused)
     select_cdf: jnp.ndarray = jnp.zeros((0,), jnp.float32)
+    # light hierarchy (light_hierarchy.art / LightHierarchy.cpp): binary
+    # tree over finite lights; child >= 0 -> leaf light row, < 0 -> inner
+    # with left = -child-1 (right = left+1). hier_code backtracks the pdf.
+    hier_pos: "Vec3" = Vec3(jnp.zeros((0,)), jnp.zeros((0,)),
+                            jnp.zeros((0,)))
+    hier_dir: "Vec3" = Vec3(jnp.zeros((0,)), jnp.zeros((0,)),
+                            jnp.zeros((0,)))
+    hier_flux: jnp.ndarray = jnp.zeros((0,), jnp.float32)
+    hier_has_dir: jnp.ndarray = jnp.zeros((0,), bool)
+    hier_child: jnp.ndarray = jnp.zeros((0,), jnp.int32)
+    hier_code: jnp.ndarray = jnp.zeros((0,), jnp.int32)
 
 
 class EnvMap(NamedTuple):

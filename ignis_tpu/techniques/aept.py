@@ -364,7 +364,8 @@ def sample_trace(scene: SceneData, settings: RenderSettings, x, y, iteration,
             emit = lightlib.env_emission(scene, lp, state.dir, eval_texture)
             pdf_s = lightlib.env_pdf_direct(scene, lp, state.dir)
             lsel_pdf = lightlib.selector_pdf(settings, scene.lights,
-                                             jnp.full(n, lid, jnp.int32))
+                                             jnp.full(n, lid, jnp.int32),
+                                             state.org)
             mis = (1.0 / (1.0 + state.inv_pdf * lsel_pdf * pdf_s)
                    if settings.enable_nee else jnp.ones(n))
             c = _handle_color(state.contrib.cmul(emit) * mis, settings)
@@ -399,7 +400,7 @@ def sample_trace(scene: SceneData, settings: RenderSettings, x, y, iteration,
         cos_safe = jnp.where(emit_ok, cos_l, 1.0)
         pdf_s = pdf_area * t_safe * t_safe / cos_safe
         esel = lightlib.selector_pdf(settings, scene.lights,
-                                     jnp.clip(light_row, 0, None))
+                                     jnp.clip(light_row, 0, None), state.org)
         mis_e = (1.0 / (1.0 + state.inv_pdf * esel * pdf_s)
                  if settings.enable_nee else jnp.ones(n))
         c_emit = _handle_color(state.contrib.cmul(lp_hit.intensity) * mis_e,

@@ -274,7 +274,8 @@ def make_bounce(scene: SceneData, settings: RenderSettings, n,
             emit = lightlib.env_emission(scene, lp, state.dir, eval_texture)
             pdf_s = lightlib.env_pdf_direct(scene, lp, state.dir)
             lsel_pdf = lightlib.selector_pdf(settings, scene.lights,
-                                             jnp.full(n, lid, jnp.int32))
+                                             jnp.full(n, lid, jnp.int32),
+                                             state.org)
             mis = jnp.where(
                 lp.delta, 0.0,
                 1.0 / (1.0 + state.inv_pdf * lsel_pdf * pdf_s)
@@ -319,7 +320,8 @@ def make_bounce(scene: SceneData, settings: RenderSettings, n,
         cos_safe = jnp.where(emit_ok, cos_l, 1.0)
         pdf_s = pdf_area * t_safe * t_safe / cos_safe
         esel_pdf = lightlib.selector_pdf(settings, scene.lights,
-                                         jnp.clip(light_row, 0, None))
+                                         jnp.clip(light_row, 0, None),
+                                         state.org)
         mis_e = (1.0 / (1.0 + state.inv_pdf * esel_pdf * pdf_s)
                  if settings.enable_nee else jnp.ones(n))
         c_emit = _handle_color(state.contrib.cmul(lp_hit.intensity) * mis_e,
@@ -332,7 +334,8 @@ def make_bounce(scene: SceneData, settings: RenderSettings, n,
         # ---- NEE (on_shadow, pathtracer.art:52) ---------------------------
         if settings.enable_nee and n_lights > 0:
             rng, (ul, u0, u1) = rnglib.next_f32_n(rng, 3)
-            lsel, sel_pdf = lightlib.select_light(settings, scene.lights, ul)
+            lsel, sel_pdf = lightlib.select_light(settings, scene.lights,
+                                                  ul, surf.point)
             lp = lightlib.gather_light(scene.lights, lsel)
             ls = lightlib.sample_direct(scene, lp, surf.point,
                                         surf.is_entering, u0, u1, eval_texture)

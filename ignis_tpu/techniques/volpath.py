@@ -82,7 +82,8 @@ def volpath_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
             emit = lightlib.env_emission(scene, lp, state.dir, eval_texture)
             pdf_s = lightlib.env_pdf_direct(scene, lp, state.dir)
             lsel_pdf = lightlib.selector_pdf(settings, scene.lights,
-                                             jnp.full(n, lid, jnp.int32))
+                                             jnp.full(n, lid, jnp.int32),
+                                             state.org)
             mis = (1.0 / (1.0 + mis_inv_pdf * lsel_pdf * pdf_s)
                    if settings.enable_nee else jnp.ones(n))
             c = _handle_color(state.contrib.cmul(emit) * mis, settings)
@@ -124,7 +125,8 @@ def volpath_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
         cos_safe = jnp.where(emit_ok, cos_l, 1.0)
         pdf_s = pdf_area * t_safe * t_safe / cos_safe
         esel_pdf = lightlib.selector_pdf(settings, scene.lights,
-                                         jnp.clip(light_row, 0, None))
+                                         jnp.clip(light_row, 0, None),
+                                         state.org)
         mis_e = (1.0 / (1.0 + mis_inv_pdf * esel_pdf * pdf_s)
                  if settings.enable_nee else jnp.ones(n))
         c_emit = _handle_color(
@@ -138,7 +140,8 @@ def volpath_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
         # ---- NEE from the surface -----------------------------------------
         if settings.enable_nee and n_lights > 0:
             rng, (ul, u0, u1) = rnglib.next_f32_n(rng, 3)
-            lsel, sel_pdf = lightlib.select_light(settings, scene.lights, ul)
+            lsel, sel_pdf = lightlib.select_light(settings, scene.lights,
+                                                  ul, surf.point)
             lp = lightlib.gather_light(scene.lights, lsel)
             ls = lightlib.sample_direct(scene, lp, surf.point,
                                         surf.is_entering, u0, u1, eval_texture)

@@ -297,3 +297,36 @@ def test_djmeasured_diffuse_matches_lambert(tmp_path):
                      "reflectance": [rho] * 3}]
     b, _ = _render(ref, spi=32)
     assert abs(a.mean() - b.mean()) / b.mean() < 0.01
+
+
+def test_light_selectors_agree():
+    """uniform / cdf / hierarchy selectors estimate the same image
+    (light_selector.art + light_hierarchy.art RTG many-lights traversal)."""
+    scene = json.loads(json.dumps(BASE))
+    scene["film"]["size"] = [48, 48]
+    scene["technique"]["max_depth"] = 4
+    scene["bsdfs"].append({"type": "diffuse", "name": "black",
+                           "reflectance": [0, 0, 0]})
+    scene["shapes"].append({"type": "rectangle", "name": "L", "width": 0.4,
+                            "height": 0.4})
+    scene["entities"].append({"name": "L", "shape": "L", "bsdf": "black",
+                              "transform": [{"translate": [1.2, 0.5, -1.0]}]})
+    scene["lights"] = [
+        {"type": "area", "name": "L", "entity": "L", "radiance": [6, 6, 6]},
+        {"type": "point", "name": "P1", "position": [-1.2, 0.8, -1.2],
+         "intensity": [2, 2, 2]},
+        {"type": "point", "name": "P2", "position": [0, 1.4, -0.8],
+         "intensity": [1, 1, 1]},
+        {"type": "spot", "name": "S", "position": [0.5, -1.0, -1.2],
+         "direction": [0, 0.5, 1], "intensity": [3, 3, 3], "cutoff": 40},
+        {"type": "env", "name": "E", "radiance": [0.05, 0.05, 0.08]},
+    ]
+    means = {}
+    for sel in ("uniform", "cdf", "hierarchy"):
+        s = json.loads(json.dumps(scene))
+        s["technique"]["light_selector"] = sel
+        img, rt = _render(s, spi=128)
+        assert rt.warnings == []
+        means[sel] = img.mean()
+    for sel in ("cdf", "hierarchy"):
+        assert abs(means[sel] - means["uniform"]) / means["uniform"] < 0.02

@@ -71,13 +71,44 @@ def _expand(v: Vec3, axis: int) -> Vec3:
                 jnp.expand_dims(v.z, axis))
 
 
+def _pallas_available() -> bool:
+    """Static (trace-time) gate: the VMEM-resident kernel needs a real TPU
+    backend; CPU (tests) keeps the XLA scan path.
+
+    Opt-in (IGNIS_TPU_PALLAS=1): in this environment the remote Mosaic
+    compile intermittently wedges when the kernel is embedded in large
+    while_loop programs; the standalone kernel compiles and matches the
+    scan path (see tests/test_bvh.py interpret test)."""
+    import os
+    if os.environ.get("IGNIS_TPU_PALLAS", "0") != "1":
+        return False
+    try:
+        import jax as _jax
+        plat = _jax.devices()[0].platform
+        return plat in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def intersect_tris_dense(rays: Rays, soup: TriSoup, any_hit: bool = False) -> Hit:
     """Closest-hit (or any-hit) over the whole padded tri soup.
 
-    Scans over chunks of TRI_CHUNK triangles; the [N, C] intermediates are
-    fused into the min-reduction by XLA so peak memory stays O(N).
+    On TPU this routes to the Pallas kernel (pallas_isect.py) that keeps
+    the [lanes, chunk] Moller-Trumbore intermediates in VMEM; elsewhere an
+    XLA scan over TRI_CHUNK chunks.
     """
     n_tri = soup.v0.x.shape[0]
+    if _pallas_available() and n_tri > 0 and rays.tmin.ndim == 1 \
+            and n_tri % 128 == 0:
+        from .pallas_isect import intersect_tris_pallas
+        vis = jnp.ones((n_tri,), jnp.float32)
+        t, prim, u, v = intersect_tris_pallas(
+            rays.org.x, rays.org.y, rays.org.z,
+            rays.dir.x, rays.dir.y, rays.dir.z, rays.tmin, rays.tmax,
+            soup.v0.x, soup.v0.y, soup.v0.z,
+            soup.e1.x, soup.e1.y, soup.e1.z,
+            soup.e2.x, soup.e2.y, soup.e2.z, vis)
+        return Hit(t=t, prim=prim, u=u, v=v)
     n_chunks = n_tri // TRI_CHUNK
 
     org = _expand(rays.org, -1)   # [N, 1]
@@ -126,6 +157,18 @@ def occluded_tris_dense(rays: Rays, soup: TriSoup,
     triangles that participate in shadowing (reference: entity
     `shadow_visible` flag)."""
     n_tri = soup.v0.x.shape[0]
+    if _pallas_available() and n_tri > 0 and rays.tmin.ndim == 1 \
+            and n_tri % 128 == 0:
+        from .pallas_isect import intersect_tris_pallas
+        vis = (jnp.ones((n_tri,), jnp.float32) if shadow_visible is None
+               else shadow_visible.astype(jnp.float32))
+        _, prim, _, _ = intersect_tris_pallas(
+            rays.org.x, rays.org.y, rays.org.z,
+            rays.dir.x, rays.dir.y, rays.dir.z, rays.tmin, rays.tmax,
+            soup.v0.x, soup.v0.y, soup.v0.z,
+            soup.e1.x, soup.e1.y, soup.e1.z,
+            soup.e2.x, soup.e2.y, soup.e2.z, vis)
+        return prim >= 0
     n_chunks = n_tri // TRI_CHUNK
     org = _expand(rays.org, -1)
     d = _expand(rays.dir, -1)

@@ -38,11 +38,31 @@ DEFAULT_SCENES = [
     "plane-d1", "plane-d6", "point", "env", "cbox-d1", "cbox-d6",
     "emissive-plane", "emissive-plane-scale",
     "sphere-light-ico", "sphere-light-uv", "sphere-light-pure",
-    "multilight-uniform", "three-planes-dielectric", "two-planes-mirror",
+    "multilight-uniform", "multilight-simple", "multilight-hierarchy",
+    "three-planes-dielectric", "two-planes-mirror",
     "two-planes-plastic", "flipped-prim-diffuse", "flipped-prim-glass",
+    "room", "volume",
+    # cycles exports
+    "cycles-box", "cycles-bumpmap", "cycles-env", "cycles-lights",
+    "cycles-lights-lt", "cycles-lights-ppm",
+    "cycles-mix-diff-diff", "cycles-mix-diff-trans",
+    "cycles-mix-trans-trans", "cycles-normalmap", "cycles-principled",
+    "cycles-roughness-raniso", "cycles-roughness-rxry",
+    "cycles-sun", "cycles-tex",
+    # radiance compliance models + measured BSDFs
+    "plane-array-diffuse",
+    "plane-array-klems-back", "plane-array-klems-front",
+    "plane-array-tensortree-back", "plane-array-tensortree-front",
+    "plane-array-tensortree-t3-back", "plane-array-tensortree-t3-front",
+    "three-planes-brtdfunc1", "three-planes-glass",
+    "three-planes-interface", "three-planes-roos",
+    "two-planes-brtdfunc1", "two-planes-brtdfunc2", "two-planes-brtdfunc3",
+    "sun-on-plane", "sun-on-plane-and-stick",
     # env4k-* need textures/environment/phalzer_forest_01_4k.exr which is
     # not bundled with the reference checkout.
 ]
+SKY_SCENES = ["sky-uniform", "sky-cloudy", "sky-clear", "sky-intermediate",
+              "sky-perez1", "sky-perez2", "sky-perez3"]
 
 
 def find_reference(name: str):

@@ -129,3 +129,37 @@ def test_native_builder_matches_layout():
             elif c > 0:
                 assert c < n_nodes
     assert cover.all()
+
+
+def test_pallas_kernel_matches_scan_interpret():
+    """Pallas intersection kernel (interpret mode) == XLA scan path."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ignis_tpu.core.vec import Vec3
+    from ignis_tpu.ops import intersect as I
+    from ignis_tpu.ops.pallas_isect import intersect_tris_pallas
+    rng = np.random.default_rng(3)
+    T, N = 256, 512
+    v0 = rng.uniform(-3, 3, (T, 3)).astype(np.float32)
+    e1 = rng.uniform(-0.6, 0.6, (T, 3)).astype(np.float32)
+    e2 = rng.uniform(-0.6, 0.6, (T, 3)).astype(np.float32)
+    o = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    soup = I.TriSoup(Vec3(*[jnp.asarray(v0[:, i]) for i in range(3)]),
+                     Vec3(*[jnp.asarray(e1[:, i]) for i in range(3)]),
+                     Vec3(*[jnp.asarray(e2[:, i]) for i in range(3)]))
+    rays = I.Rays(Vec3(*[jnp.asarray(o[:, i]) for i in range(3)]),
+                  Vec3(*[jnp.asarray(d[:, i]) for i in range(3)]),
+                  jnp.zeros(N), jnp.full(N, 1e30))
+    h = I.intersect_tris_dense(rays, soup)
+    t, prim, u, v = intersect_tris_pallas(
+        rays.org.x, rays.org.y, rays.org.z,
+        rays.dir.x, rays.dir.y, rays.dir.z, rays.tmin, rays.tmax,
+        soup.v0.x, soup.v0.y, soup.v0.z,
+        soup.e1.x, soup.e1.y, soup.e1.z,
+        soup.e2.x, soup.e2.y, soup.e2.z,
+        jnp.ones(T), interpret=True)
+    assert (np.asarray(prim) == np.asarray(h.prim)).mean() > 0.999
+    hitm = np.asarray(h.prim) >= 0
+    assert np.allclose(np.asarray(t)[hitm], np.asarray(h.t)[hitm], rtol=1e-4)

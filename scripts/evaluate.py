@@ -28,9 +28,12 @@ REF_DIR = EVAL_DIR / "references"
 SPP_OVERRIDE = {
     "two-planes-mirror": 128,
     "two-planes-plastic": 128,
-    "three-planes-dielectric": 128,
-    "three-planes-glass": 128,
+    "three-planes-dielectric": 256,
+    "three-planes-glass": 256,
+    "three-planes-interface": 256,
     "flipped-prim-glass": 128,
+    "cycles-mix-trans-trans": 128,
+    "cycles-mix-diff-trans": 128,
 }
 
 # Scenes currently expected to pass (grow this list as features land).

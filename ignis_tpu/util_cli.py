@@ -23,6 +23,16 @@ def build_parser() -> argparse.ArgumentParser:
     pi = sub.add_parser("info", help="Print image statistics")
     pi.add_argument("input")
 
+    pb = sub.add_parser(
+        "inspect", help="Visualize a measured BSDF (bsdfinspector analog)")
+    pb.add_argument("input", help=".xml (klems/tensortree) or .bsdf file")
+    pb.add_argument("-o", "--output", default="bsdf.exr")
+    pb.add_argument("--theta", type=float, default=30.0,
+                    help="Incident theta in degrees")
+    pb.add_argument("--phi", type=float, default=0.0,
+                    help="Incident phi in degrees")
+    pb.add_argument("--res", type=int, default=256)
+
     pc = sub.add_parser("convert", help="Convert images or meshes")
     pc.add_argument("input")
     pc.add_argument("output")
@@ -84,10 +94,116 @@ def _cmd_convert(args) -> int:
     return 1
 
 
+def _cmd_inspect(args) -> int:
+    """Headless bsdfinspector (src/tools/bsdfinspector/): slice a measured
+    BSDF at one incident direction into hemisphere heat maps."""
+    import numpy as np
+
+    from .utils.image import write_exr_multilayer
+
+    theta_i = np.deg2rad(args.theta)
+    phi_i = np.deg2rad(args.phi)
+    res = args.res
+
+    # outgoing hemisphere as a concentric disk image
+    ys, xs = np.mgrid[0:res, 0:res]
+    px = (xs + 0.5) / res * 2.0 - 1.0
+    py = (ys + 0.5) / res * 2.0 - 1.0
+    r = np.sqrt(px * px + py * py)
+    inside = r <= 1.0
+    theta_o = np.arcsin(np.clip(r, 0, 1))
+    phi_o = np.arctan2(py, px)
+
+    path = str(args.input)
+    layers = {}
+    if path.endswith(".bsdf"):
+        from .scene.djmeasured import load_djmeasured, phi2u, theta2u
+        d = load_djmeasured(path)
+        t = int(np.argmin(np.abs(d.theta_nodes - theta_i)))
+        # half-vector parameterization slice
+        wi = np.array([np.sin(theta_i), 0, np.cos(theta_i)])
+        wo = np.stack([np.sin(theta_o) * np.cos(phi_o),
+                       np.sin(theta_o) * np.sin(phi_o),
+                       np.cos(theta_o)], axis=-1)
+        wm = wi + wo
+        wm /= np.maximum(np.linalg.norm(wm, axis=-1, keepdims=True), 1e-9)
+        th_m = np.arccos(np.clip(wm[..., 2], -1, 1))
+        ph_m = np.arctan2(wm[..., 1], wm[..., 0])
+        H, W = d.fr.shape[1], d.fr.shape[2]
+        ix = np.clip((theta2u(th_m) * W).astype(int), 0, W - 1)
+        uy = phi2u(ph_m)
+        iy = np.clip(((uy - np.floor(uy)) * H).astype(int), 0, H - 1)
+        img = d.fr[t, iy, ix] * np.cos(theta_o)[..., None]
+        img[~inside] = 0
+        layers[""] = img.astype(np.float32)
+        print(f"djmeasured: {len(d.theta_nodes)} theta nodes, slice at "
+              f"{np.rad2deg(d.theta_nodes[t]):.1f} deg")
+    else:
+        txt = open(path).read()
+        if "TensorTree" in txt:
+            from .scene.tensortree import load_tensortree
+            from .models.tensortree import (_disk_to_square, _eval_component,
+                                            TensorTreeData)
+            import jax.numpy as jnp
+            from .models.tensortree import from_numpy
+            tt = from_numpy(load_tensortree(path))
+            wo_flat = (jnp.asarray(np.sin(theta_o) * np.cos(phi_o)).ravel(),
+                       jnp.asarray(np.sin(theta_o) * np.sin(phi_o)).ravel(),
+                       jnp.asarray(np.cos(theta_o)).ravel())
+            from .core.vec import Vec3
+            wi = Vec3(jnp.full(res * res, float(np.sin(theta_i))),
+                      jnp.zeros(res * res),
+                      jnp.full(res * res, float(np.cos(theta_i))))
+            nd = tt.front_transmission.grid.ndim
+            for lname, comp in (("FrontTransmission", tt.front_transmission),
+                                ("FrontReflection", tt.front_reflection)):
+                v = _eval_component(comp, nd,
+                                    Vec3(-wi.x, -wi.y, -wi.z)
+                                    if lname == "FrontTransmission" else wi,
+                                    Vec3(*wo_flat))
+                im = np.array(np.asarray(v).reshape(res, res))
+                im[~inside] = 0
+                layers[lname] = np.stack([im] * 3, -1).astype(np.float32)
+                print(f"{lname}: total {float(comp.total):.4f}")
+            layers[""] = layers.pop("FrontTransmission")
+        else:
+            from .scene.klems import load_klems
+            k = load_klems(path)
+            for lname, comp in (("FrontTransmission", k.front_transmission),
+                                ("FrontReflection", k.front_reflection)):
+                # incident column index
+                ti = np.searchsorted(comp.col.upper, theta_i)
+                ti = min(ti, len(comp.col.upper) - 1)
+                nphi = comp.col.phi_count[ti]
+                pidx = int(phi_i / (2 * np.pi) * nphi + 0.5) % max(nphi, 1)
+                col = comp.col.lin_off[ti] + pidx
+                vals = comp.matrix[:, col]
+                # rasterize outgoing rows
+                to_r = np.searchsorted(comp.row.upper, theta_o.ravel())
+                to_r = np.minimum(to_r, len(comp.row.upper) - 1)
+                nph = comp.row.phi_count[to_r]
+                pho = (phi_o.ravel() % (2 * np.pi))
+                pidx_o = ((pho / (2 * np.pi) * nph + 0.5) % np.maximum(
+                    nph, 1)).astype(int)
+                rows = comp.row.lin_off[to_r] + pidx_o
+                im = np.array(vals[rows].reshape(res, res))
+                im[~inside] = 0
+                layers[lname] = np.stack([im] * 3, -1).astype(np.float32)
+                print(f"{lname}: total {comp.total:.4f}")
+            layers[""] = layers.pop("FrontTransmission")
+    write_exr_multilayer(args.output, layers,
+                         {"igTheta": float(args.theta),
+                          "igPhi": float(args.phi)})
+    print(f"wrote {args.output}")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "info":
         return _cmd_info(args)
+    if args.command == "inspect":
+        return _cmd_inspect(args)
     return _cmd_convert(args)
 
 

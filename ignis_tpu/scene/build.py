@@ -489,6 +489,30 @@ def _bsdf_row(obj: SceneObject, texreg: "TextureRegistry",
     return row
 
 
+# DebugMode.cpp string names, in enum order
+_DEBUG_MODES = ["normal", "tangent", "bitangent", "geometric normal",
+                "local normal", "local tangent", "local bitangent",
+                "local geometric normal", "texture coords", "prim coords",
+                "point", "local point", "generated coords", "hit distance",
+                "area", "raw prim id", "prim id", "raw entity id",
+                "entity id", "raw material id", "material id", "is emissive",
+                "is specular", "is entering", "check bsdf", "albedo",
+                "medium inner", "medium outer"]
+
+
+def _debug_mode_of(tech) -> int:
+    v = tech.get("mode", 0)
+    if isinstance(v, str):
+        try:
+            return _DEBUG_MODES.index(v.strip().lower())
+        except ValueError:
+            return 0
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return 0
+
+
 def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
     warnings: List[str] = []
     overrides = overrides or {}
@@ -1258,7 +1282,7 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         has_bump=any(r["bump_kind"] != 0 and r["bump_tex"] >= 0
                      for r in mat_rows),
         bsdf_kinds=tuple(sorted({int(r["kind"]) for r in mat_rows})),
-        debug_mode=tech.get_int("mode", 0) if tech else 0,
+        debug_mode=_debug_mode_of(tech) if tech else 0,
         # photon mapping (PhotonMappingTechnique.cpp:14-20); the reference
         # default of 1e6 photons is kept, overridable for tests
         photon_count=max(100, int(overrides.get(

@@ -60,26 +60,59 @@ def debug_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
     frame = make_frame(surf.ns)
     mode = getattr(settings, "debug_mode", 0)
 
+    mid = scene.entities.mat[jnp.clip(surf.ent, 0, None)]
     if mode == 1:
         c = _abs_color(frame.t)
     elif mode == 2:
         c = _abs_color(frame.b)
     elif mode == 3:
         c = _abs_color(surf.face_n)
+    elif mode in (4, 5, 6, 7):
+        # local-frame views: our frames are already ray-facing world frames
+        v = {4: surf.ns, 5: frame.t, 6: frame.b, 7: surf.face_n}[mode]
+        c = _abs_color(v)
     elif mode == 8:
         c = Color(jnp.abs(surf.uv.x), jnp.abs(surf.uv.y),
                   jnp.zeros_like(surf.uv.x))
     elif mode == 9:
         c = Color(jnp.abs(hit.u), jnp.abs(hit.v), jnp.zeros_like(hit.u))
+    elif mode in (10, 11, 12):
+        # Point / LocalPoint / GeneratedCoords: normalized hit position
+        inv = 1.0 / jnp.maximum(scene.scene_radius, 1e-6)
+        c = Color(jnp.abs(surf.point.x - scene.scene_center.x) * inv,
+                  jnp.abs(surf.point.y - scene.scene_center.y) * inv,
+                  jnp.abs(surf.point.z - scene.scene_center.z) * inv)
     elif mode == 13:
         c = Color(hit.t, hit.t, hit.t)
+    elif mode == 14:
+        # Area: world-space area of the hit triangle
+        a = scene.tri_attr.area[jnp.clip(hit.prim, 0, None)]
+        c = Color(a, a, a)
     elif mode in (16, 15):
         c = _palette(hit.prim)
     elif mode in (17, 18):
         c = _palette(surf.ent)
     elif mode in (19, 20):
-        mid = scene.entities.mat[jnp.clip(surf.ent, 0, None)]
         c = _palette(mid)
+    elif mode == 21:
+        e = (scene.entities.light[jnp.clip(surf.ent, 0, None)] >= 0) \
+            .astype(jnp.float32)
+        c = Color(e, e, jnp.zeros_like(e))
+    elif mode in (22, 24):
+        # IsSpecular / CheckBSDF: all-delta flag of the hit material
+        d = bsdflib.is_all_delta(gather_material(scene, surf)) \
+            .astype(jnp.float32)
+        c = Color(d, jnp.zeros_like(d), d)
+    elif mode == 23:
+        e = surf.is_entering.astype(jnp.float32)
+        c = Color(jnp.zeros_like(e), e, 1.0 - e)
+    elif mode == 25:
+        mat = gather_material(scene, surf)
+        c = mat.base
+    elif mode in (26, 27):
+        med = (scene.entities.med_inner if mode == 26
+               else scene.entities.med_outer)[jnp.clip(surf.ent, 0, None)]
+        c = _palette(jnp.clip(med, 0, None))
     else:  # 0 / default: shading normal
         c = _abs_color(frame.n)
     return cselect(found, c, black(rays.tmin.shape))

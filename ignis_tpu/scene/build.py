@@ -1273,8 +1273,13 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         spi=int(overrides.get("spi", 1)), seed=int(overrides.get("seed", 0)),
         pixel_sampler=str(overrides.get("pixel_sampler", "uniform")),
         camera_type=cam_type, fish_mode=fish_mode,
-        light_selector=(tech.get_string("light_selector", "uniform")
-                        or "uniform") if tech else "uniform",
+        # "simple" is the reference's name for the flux-CDF selector
+        # (LoaderLight.cpp:440)
+        light_selector={"simple": "cdf"}.get(
+            (tech.get_string("light_selector", "uniform") or "uniform")
+            if tech else "uniform",
+            (tech.get_string("light_selector", "uniform") or "uniform")
+            if tech else "uniform"),
         infinite_light_rows=infinite_rows, n_lights=n_lights,
         texture_descs=tuple(texreg.descs),
         medium_exprs=tuple(med_exprs),

@@ -15,6 +15,16 @@ from typing import NamedTuple, Optional
 import numpy as np
 
 
+def _parse_xml(path):
+    """Parse the XML with any namespace stripped (LBNL files declare
+    xmlns="http://windows.lbl.gov")."""
+    it = ET.iterparse(str(path))
+    for _, el in it:
+        if "}" in el.tag:
+            el.tag = el.tag.split("}", 1)[1]
+    return it.root
+
+
 class KlemsBasisNp(NamedTuple):
     lower: np.ndarray       # [T] radians, sorted ascending by upper
     upper: np.ndarray       # [T]
@@ -70,7 +80,7 @@ def _black_component(basis: KlemsBasisNp) -> KlemsComponentNp:
 
 
 def load_klems(path) -> Optional[KlemsNp]:
-    doc = ET.parse(str(path)).getroot()
+    doc = _parse_xml(path)
     layer = doc.find("Optical/Layer")
     if layer is None:
         raise ValueError(f"{path}: no Optical/Layer")

@@ -17,6 +17,16 @@ from typing import List, NamedTuple, Optional, Union
 import numpy as np
 
 
+def _parse_xml(path):
+    """Parse the XML with any namespace stripped (LBNL files declare
+    xmlns="http://windows.lbl.gov")."""
+    it = ET.iterparse(str(path))
+    for _, el in it:
+        if "}" in el.tag:
+            el.tag = el.tag.split("}", 1)[1]
+    return it.root
+
+
 class TTNode(NamedTuple):
     children: list   # list[TTNode], empty for leaves
     values: list     # list[float]: 1 (uniform) or 2^ndim
@@ -109,7 +119,7 @@ def _component(node: Optional[TTNode], ndim: int,
 
 
 def load_tensortree(path, max_res: int = 256) -> TensorTreeNp:
-    doc = ET.parse(str(path)).getroot()
+    doc = _parse_xml(path)
     layer = doc.find("Optical/Layer")
     if layer is None:
         raise ValueError(f"{path}: no Optical/Layer")

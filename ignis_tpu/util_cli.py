@@ -81,6 +81,11 @@ def _cmd_convert(args) -> int:
         print(f"{args.input} -> {args.output}: {len(m.vertices)} vertices, "
               f"{len(m.indices)} faces")
         return 0
+    if in_ext == ".xml" and out_ext == ".json":
+        from .scene.mitsuba import convert_mitsuba
+        convert_mitsuba(args.input, args.output)
+        print(f"{args.input} -> {args.output} (mitsuba scene)")
+        return 0
     if in_ext in IMAGE_EXT:
         import numpy as np
         from .utils.image import load_image, save_image

@@ -113,3 +113,27 @@ def test_denoiser_reduces_mse():
     mse_den = ((den - ref) ** 2).mean()
     assert np.isfinite(den).all()
     assert mse_den < mse_noisy  # AOV-guided a-trous filter helps
+
+
+def test_mitsuba_converter_matches_native():
+    """A Mitsuba XML scene converted with scene/mitsuba.py renders the same
+    image as the hand-written ignis JSON of the same scene."""
+    import os
+    from ignis_tpu.scene.mitsuba import convert_mitsuba
+    cwd = os.getcwd()
+    try:
+        os.chdir("/root/reference/scenes")
+        d = convert_mitsuba("evaluation/mitsuba/emissive-plane.xml")
+        d["film"]["size"] = [32, 32]
+        rt = ignis_tpu.loadFromString(json.dumps(d), base_dir="evaluation",
+                                      spi=32)
+        rt.step()
+        a = np.asarray(rt.framebuffer(normalized=True))
+        rt2 = ignis_tpu.loadFromFile(
+            "/root/reference/scenes/evaluation/emissive-plane.json",
+            spi=32, width=32, height=32)
+        rt2.step()
+        b = np.asarray(rt2.framebuffer(normalized=True))
+    finally:
+        os.chdir(cwd)
+    assert abs(a.mean() - b.mean()) / b.mean() < 0.02

@@ -333,6 +333,53 @@ class Runtime:
         }
         write_exr_multilayer(path, layers, metadata)
 
+    # -- reference Python API aliases (frontend/python/runtime.cpp) --------
+    @property
+    def IterationCount(self) -> int:
+        return self._iteration
+
+    @property
+    def SampleCount(self) -> int:
+        return self._sample_count
+
+    @property
+    def FrameCount(self) -> int:
+        return self._frame
+
+    @property
+    def FramebufferWidth(self) -> int:
+        return self.settings.width
+
+    @property
+    def FramebufferHeight(self) -> int:
+        return self.settings.height
+
+    @property
+    def SPI(self) -> int:
+        return self.settings.spi
+
+    @property
+    def Technique(self) -> str:
+        return self.settings.technique
+
+    def clearFramebuffer(self, aov: str = ""):
+        self.reset()
+
+    def incFrameCount(self):
+        self.inc_frame()
+
+    def tonemap(self, method: int = 3, exposure: float = 0.0,
+                offset: float = 0.0):
+        """Tonemapped LDR image [h, w, 3] uint8 (runtime.cpp:264);
+        method indexes the reference tonemap list (3 = ACES)."""
+        import numpy as np
+
+        from .tonemap import tonemap as tm
+        img = jnp.asarray(self.framebuffer(normalized=True))
+        out = tm(img, exposure_factor=2.0 ** exposure,
+                 exposure_offset=offset, method=method)
+        return (np.clip(np.asarray(out), 0.0, 1.0) * 255).astype("uint8")
+
     def reset(self):
         self._film = None
         self._iteration = 0

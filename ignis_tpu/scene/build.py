@@ -528,6 +528,9 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
 
     tech = scene.technique
     tech_type = tech.plugin_type if tech else "path"
+    # RuntimeOptions.OverrideTechnique / OverrideCamera analog
+    if overrides.get("technique"):
+        tech_type = str(overrides["technique"])
     # ppm spells these max_camera_depth/min_camera_depth
     # (PhotonMappingTechnique.cpp:15-16)
     max_depth = (tech.get_int("max_depth",
@@ -543,6 +546,8 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
 
     cam = scene.camera
     cam_type = cam.plugin_type if cam else "perspective"
+    if overrides.get("camera"):
+        cam_type = str(overrides["camera"])
     cam_transform = cam.get_transform() if (cam and "transform" in cam.props) else None
     near = cam.get_number("near_clip", 0.0) if cam else 0.0
     far = cam.get_number("far_clip", 3.0e38) if cam else 3.0e38

@@ -217,7 +217,9 @@ def _dielectric_rough_eval(mat: MatParams, is_entering, wi: Vec3,
     refl = mat.base * (F * D * G * jnp.abs(mf.reflective_jacobian(cos_o)))
     jac = mf.refractive_jacobian(eta, cos_h_i, cos_h_o)
     norm = jnp.abs(safe_div(cos_h_o * jac, cos_o))
-    trans = mat.extra * ((1.0 - F) * D * G * norm)
+    # radiance-mode (eta_i/eta_t)^2 compression on transmission (PBRT
+    # convention; see the smooth-dielectric sample for rationale)
+    trans = mat.extra * ((1.0 - F) * D * G * norm * (eta * eta))
     ok = (jnp.abs(cos_i * cos_o) > EPS) & (jnp.abs(cos_h_i * cos_h_o) > EPS) \
         & (mat.p2 > DELTA_ALPHA)
     return cselect(ok, cselect(is_trans, trans, refl), black(cos_i.shape))
@@ -643,8 +645,14 @@ def sample_bsdf(mat: MatParams, frame: Frame, is_entering, out_dir: Vec3,
         d_dir = vselect(thin, vselect(thin_refl, refl_smooth, -wo), d_dir)
         d_w = cselect(thin, cselect(thin_refl, mat.base, mat.extra), d_w)
         d_eta = jnp.where(thin, one, d_eta)
-        if adjoint:
-            # radiance -> importance transport: eta^2 on refraction
+        if not adjoint:
+            # Radiance-mode refraction carries the (eta_i/eta_t)^2 radiance
+            # compression (PBRT convention; matches the Mitsuba/Radiance
+            # golden images — e.g. three-planes-dielectric: a single open
+            # interface). Closed glass cancels the factor on exit. The
+            # adjoint/importance mode carries no factor (Veach's asymmetry;
+            # the reference applies it on the adjoint side instead, which is
+            # self-consistent but diverges from the physical references).
             adj = jnp.where(~choose_refl & ~thin, k_ratio * k_ratio, 1.0)
             d_w = d_w * adj
         diel_sm = BsdfSample(d_dir, one, d_w, d_eta, true, true)
@@ -669,9 +677,10 @@ def sample_bsdf(mat: MatParams, frame: Frame, is_entering, out_dir: Vec3,
         dr_eval = _dielectric_rough_eval(mat, is_entering, dr_dir, wo)
         dr_w = dr_eval * safe_div(1.0, f_pdf)
         if adjoint:
+            # eval carries the radiance-mode eta^2; divide it back out for
+            # importance transport
             dr_w = dr_w * jnp.where((dr_dir.z * cos_o) < 0.0,
-                                    1.0 / jnp.maximum(k_ratio * k_ratio, 1e-6),
-                                    1.0)
+                                    safe_div(1.0, k_ratio * k_ratio), 1.0)
         dr_is_trans = (dr_dir.z * cos_o) < 0.0
         dr_eta = jnp.where(dr_is_trans, k_ratio, one)
         # Reject side-switching samples (reflection below horizon /

@@ -116,7 +116,9 @@ def test_diffuse_energy():
 
 
 def test_smooth_dielectric_energy():
-    """White furnace: reflection + refraction weights account for all energy."""
+    """White dielectric weights: reflection carries 1; radiance-mode
+    refraction carries the (eta_i/eta_t)^2 compression (PBRT convention,
+    matches the Mitsuba/Radiance golden images); adjoint carries 1."""
     o = jnp.ones(N)
     mat = make_mat(B.BsdfKind.DIELECTRIC, N, p0=1.0, p1=1.5,
                    base=color(o, o, o))
@@ -124,9 +126,17 @@ def test_smooth_dielectric_energy():
     wo = rand_dirs(N, 7)
     u0, u1, u2 = uniforms(N, 8)
     s = B.sample_bsdf(mat, f, jnp.full(N, True), wo, u0, u1, u2)
-    # Smooth dielectric with white ks/kt: weight == 1 in every channel
-    np.testing.assert_allclose(np.asarray(s.weight.r), 1.0, atol=1e-5)
     assert bool(jnp.all(s.is_delta))
+    refr = np.asarray(s.in_dir.z) < 0
+    w = np.asarray(s.weight.r)
+    np.testing.assert_allclose(w[~refr], 1.0, atol=1e-5)
+    np.testing.assert_allclose(w[refr], (1.0 / 1.5) ** 2, atol=1e-5)
+    # importance (adjoint) transport: no factor
+    sa = B.sample_bsdf(mat, f, jnp.full(N, True), wo, u0, u1, u2,
+                       adjoint=True)
+    wa = np.asarray(sa.weight.r)
+    refa = np.asarray(sa.in_dir.z) < 0
+    np.testing.assert_allclose(wa[refa], 1.0, atol=1e-5)
 
 
 def test_refraction_direction_snell():

@@ -157,7 +157,9 @@ def _eval_refraction(p: PrincipledParams, wi: Vec3, wo: Vec3, h: Vec3) -> Color:
     G = mf.g_separable(wi, wo, au, av)
     jac = mf.refractive_jacobian(p.refr_eta, hdi, hdo)
     norm = jnp.abs(safe_div(hdo * jac, wo.z))
-    term = (1.0 - F) * D * G * norm
+    # radiance-mode (eta_i/eta_t)^2 compression on transmission (see
+    # models/bsdf.py dielectric; matches the Mitsuba/Radiance goldens)
+    term = (1.0 - F) * D * G * norm * (p.refr_eta * p.refr_eta)
     # thin: simple fresnel-based pass-through
     ft = fresnel_dielectric(p.refr_eta, jnp.abs(wo.z)).factor
     ft = ft + (1.0 - ft) * ft / (ft + 1.0)

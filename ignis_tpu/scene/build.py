@@ -596,7 +596,8 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         try:
             if t in ("image", "bitmap"):
                 from ..utils.image import load_image
-                img = load_image(obj.path("filename"))
+                img = load_image(obj.path("filename"),
+                                 linear=obj.get_bool("linear", False))
                 tex_images[name] = img
                 filt = {"nearest": FilterMode.NEAREST,
                         "bilinear": FilterMode.BILINEAR}.get(

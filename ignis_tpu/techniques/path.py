@@ -197,9 +197,9 @@ def apply_normal_map(scene: SceneData, settings: RenderSettings,
                         surf.ns.z + (oN.z - surf.ns.z) * bs))
 
     # bumpmap (map.art:64): n - strength*(t*dh/du + b*dh/dv); central
-    # differences in uv stand in for the reference's ray-differential
-    # texture_dx/texture_dy
-    h = 1.0 / 512.0
+    # differences in uv, scaled to a true derivative like the reference's
+    # texture_dx (texture/common.art:28, delta = 0.001, /delta)
+    h = 0.001
     if isinstance(ctx, Vec2):
         cpx = Vec2(ctx.x + h, ctx.y)
         cmx = Vec2(ctx.x - h, ctx.y)
@@ -211,8 +211,8 @@ def apply_normal_map(scene: SceneData, settings: RenderSettings,
         cmx = ctx._replace(uv=(u - h, v))
         cpy = ctx._replace(uv=(u, v + h))
         cmy = ctx._replace(uv=(u, v - h))
-    dx = (eval_texture(bt, cpx).r - eval_texture(bt, cmx).r) * 0.5
-    dy = (eval_texture(bt, cpy).r - eval_texture(bt, cmy).r) * 0.5
+    dx = (eval_texture(bt, cpx).r - eval_texture(bt, cmx).r) / (2.0 * h)
+    dy = (eval_texture(bt, cpy).r - eval_texture(bt, cmy).r) / (2.0 * h)
     bN = normalize(Vec3(surf.ns.x - bs * (fr.t.x * dx + fr.b.x * dy),
                         surf.ns.y - bs * (fr.t.y * dx + fr.b.y * dy),
                         surf.ns.z - bs * (fr.t.z * dx + fr.b.z * dy)))

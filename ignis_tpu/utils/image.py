@@ -31,8 +31,10 @@ def linear_to_srgb(x: np.ndarray) -> np.ndarray:
     return np.where(x <= 0.0031308, x * 12.92, 1.055 * x ** (1 / 2.4) - 0.055)
 
 
-def load_image(path) -> np.ndarray:
-    """Load as linear float32 [h, w, 3] (RGB)."""
+def load_image(path, linear: bool = False) -> np.ndarray:
+    """Load as linear float32 [h, w, 3] (RGB). `linear=True` skips the
+    sRGB decode for data images (normal maps etc., ImagePattern 'linear'
+    flag)."""
     path = str(path)
     cv2 = _cv2()
     img = cv2.imread(path, cv2.IMREAD_UNCHANGED | cv2.IMREAD_ANYDEPTH
@@ -54,7 +56,8 @@ def load_image(path) -> np.ndarray:
         maxv = 255.0 if img.max() > 1.5 else 1.0
         if img.dtype != np.float32 or maxv > 1.0:
             img = img / maxv
-        img = srgb_to_linear(img).astype(np.float32)
+        if not linear:
+            img = srgb_to_linear(img).astype(np.float32)
     return np.ascontiguousarray(img, np.float32)
 
 

@@ -1,0 +1,143 @@
+"""TPU-friendly gathers.
+
+XLA's gather on TPU costs ~2 ms per 262k-lane lookup regardless of table
+size (measured v5e; it lowers to per-element dynamic slices). Two
+replacements, both exact:
+
+- `take_rows`: for *small static tables* (materials, entities, lights —
+  the reference's DynTable payloads, src/runtime/table/DynTable.h:12),
+  `lax.select_n` over broadcast rows compiles to a flat select tree on
+  the VPU.
+
+- `gather_cols_pallas`: for *per-triangle attribute tables* (the hit
+  shader's vertex-attribute fetch, compare mapping_cpu.art:467), a
+  Pallas kernel turns the gather into one-hot x table matmuls on the
+  MXU, with the table resident in VMEM. The one-hot matrix is exact in
+  bf16, and the f32 table is split hi/lo into two bf16 matmuls whose
+  f32-accumulated sum reconstructs the values to ~f32 precision.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_SELECT_MAX_ROWS = 32
+
+
+def _on_accel() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def take_rows(col: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """col[idx] for a small static first axis; idx must be pre-clipped."""
+    r = col.shape[0]
+    if r == 0:
+        return jnp.zeros(idx.shape, col.dtype)
+    if r == 1:
+        return jnp.broadcast_to(col[0], idx.shape + col.shape[1:])
+    if r <= _SELECT_MAX_ROWS and _on_accel():
+        cases = [jnp.broadcast_to(col[k], idx.shape + col.shape[1:])
+                 for k in range(r)]
+        return jax.lax.select_n(jnp.clip(idx, 0, r - 1), *cases)
+    return col[idx]
+
+
+# ---------------------------------------------------------------------------
+# Pallas one-hot matmul gather (mid-size tables, e.g. triangle attributes)
+# ---------------------------------------------------------------------------
+
+LANE_BLOCK = 1024
+ROW_CHUNK = 512
+PALLAS_MAX_ROWS = 8192
+
+
+def _gather_kernel(n_chunks: int, idx_ref, hi_ref, lo_ref, out_ref):
+    idx = idx_ref[:].reshape(-1, 1)                       # (LB, 1)
+    nb = idx.shape[0]
+    K = out_ref.shape[1]
+
+    def body(c, acc):
+        colid = jax.lax.broadcasted_iota(jnp.int32, (nb, ROW_CHUNK), 1) \
+            + c * ROW_CHUNK
+        onehot = (colid == idx).astype(jnp.bfloat16)
+        hi = hi_ref[c]                                    # (ROW_CHUNK, K)
+        lo = lo_ref[c]
+        dn = (((1,), (0,)), ((), ()))
+        acc = acc + jax.lax.dot_general(
+            onehot, hi, dn, preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot_general(
+            onehot, lo, dn, preferred_element_type=jnp.float32)
+        return acc
+
+    out_ref[:, :] = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((nb, K), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _gather_cols_call(idx, tab, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    n = idx.shape[0]
+    t, k = tab.shape
+    n_pad = ((n + LANE_BLOCK - 1) // LANE_BLOCK) * LANE_BLOCK
+    if n_pad != n:
+        idx = jnp.pad(idx, (0, n_pad - n))
+    t_pad = ((t + ROW_CHUNK - 1) // ROW_CHUNK) * ROW_CHUNK
+    if t_pad != t:
+        tab = jnp.pad(tab, ((0, t_pad - t), (0, 0)))
+    hi = tab.astype(jnp.bfloat16)
+    lo = (tab - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    n_chunks = t_pad // ROW_CHUNK
+    re = lambda a: a.reshape(n_chunks, ROW_CHUNK, k)
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, n_chunks),
+        grid=(n_pad // LANE_BLOCK,),
+        in_specs=[pl.BlockSpec((LANE_BLOCK,), lambda i: (i,),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((LANE_BLOCK, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, k), jnp.float32),
+        interpret=interpret,
+    )(idx.astype(jnp.int32), re(hi), re(lo))
+    return out[:n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _gather_cols_diff(idx, tab, interpret=False):
+    return _gather_cols_call(idx, tab, interpret=interpret)
+
+
+def _gather_cols_fwd(idx, tab, interpret=False):
+    return _gather_cols_call(idx, tab, interpret=interpret), (idx, tab.shape)
+
+
+def _gather_cols_bwd(interpret, res, g):
+    idx, tab_shape = res
+    # d(tab) = onehot^T @ g: scatter-add (backward pass only)
+    dtab = jnp.zeros(tab_shape, g.dtype).at[idx].add(g)
+    return (None, dtab)
+
+
+_gather_cols_diff.defvjp(_gather_cols_fwd, _gather_cols_bwd)
+
+
+def gather_cols(idx, cols, interpret=False):
+    """Gather len(cols) f32 columns (each [T]) at idx ([N] i32, pre-clipped);
+    returns a list of [N] arrays. Uses the MXU one-hot kernel on TPU for
+    mid-size tables, plain XLA gathers elsewhere. Differentiable in the
+    table values (scatter-add backward)."""
+    t = cols[0].shape[0]
+    use_pallas = (_on_accel() or interpret) and 0 < t <= PALLAS_MAX_ROWS \
+        and len(cols) <= 128
+    if not use_pallas:
+        return [c[idx] for c in cols]
+    tab = jnp.stack([c.astype(jnp.float32) for c in cols], axis=1)
+    out = _gather_cols_diff(idx, tab, interpret)
+    return [out[:, j] for j in range(len(cols))]

@@ -72,15 +72,11 @@ def _expand(v: Vec3, axis: int) -> Vec3:
 
 
 def _pallas_available() -> bool:
-    """Static (trace-time) gate: the VMEM-resident kernel needs a real TPU
-    backend; CPU (tests) keeps the XLA scan path.
-
-    Opt-in (IGNIS_TPU_PALLAS=1): in this environment the remote Mosaic
-    compile intermittently wedges when the kernel is embedded in large
-    while_loop programs; the standalone kernel compiles and matches the
-    scan path (see tests/test_bvh.py interpret test)."""
+    """Static (trace-time) gate: the VMEM-resident MXU kernel
+    (pallas_isect.py) needs a real TPU backend; CPU (tests) keeps the XLA
+    scan path. Set IGNIS_TPU_PALLAS=0 to force the scan path on TPU."""
     import os
-    if os.environ.get("IGNIS_TPU_PALLAS", "0") != "1":
+    if os.environ.get("IGNIS_TPU_PALLAS", "1") != "1":
         return False
     try:
         import jax as _jax
@@ -162,13 +158,13 @@ def occluded_tris_dense(rays: Rays, soup: TriSoup,
         from .pallas_isect import intersect_tris_pallas
         vis = (jnp.ones((n_tri,), jnp.float32) if shadow_visible is None
                else shadow_visible.astype(jnp.float32))
-        _, prim, _, _ = intersect_tris_pallas(
+        occ, _, _, _ = intersect_tris_pallas(
             rays.org.x, rays.org.y, rays.org.z,
             rays.dir.x, rays.dir.y, rays.dir.z, rays.tmin, rays.tmax,
             soup.v0.x, soup.v0.y, soup.v0.z,
             soup.e1.x, soup.e1.y, soup.e1.z,
-            soup.e2.x, soup.e2.y, soup.e2.z, vis)
-        return prim >= 0
+            soup.e2.x, soup.e2.y, soup.e2.z, vis, any_hit=True)
+        return occ > 0.0
     n_chunks = n_tri // TRI_CHUNK
     org = _expand(rays.org, -1)
     d = _expand(rays.dir, -1)

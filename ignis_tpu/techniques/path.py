@@ -82,26 +82,41 @@ def compute_surface(scene: SceneData, rays: Rays, hit: Hit) -> Surface:
     g3 = lambda v, i: Vec3(v.x[i], v.y[i], v.z[i])
     g2 = lambda v, i: Vec2(v.x[i], v.y[i])
 
-    e1 = g3(scene.tris.e1, tp)
-    e2 = g3(scene.tris.e2, tp)
+    # One fused attribute fetch for all per-triangle columns (the hit
+    # shader's vertex attribute load, mapping_cpu.art:467): on TPU this is
+    # an MXU one-hot matmul instead of 22 serial XLA gathers.
+    from ..ops.gather import gather_cols
+    ta = scene.tri_attr
+    (e1x, e1y, e1z, e2x, e2y, e2z,
+     n0x, n0y, n0z, n1x, n1y, n1z, n2x, n2y, n2z,
+     uv0x, uv0y, uv1x, uv1y, uv2x, uv2y, entf) = gather_cols(tp, [
+         scene.tris.e1.x, scene.tris.e1.y, scene.tris.e1.z,
+         scene.tris.e2.x, scene.tris.e2.y, scene.tris.e2.z,
+         ta.n0.x, ta.n0.y, ta.n0.z, ta.n1.x, ta.n1.y, ta.n1.z,
+         ta.n2.x, ta.n2.y, ta.n2.z,
+         ta.uv0.x, ta.uv0.y, ta.uv1.x, ta.uv1.y, ta.uv2.x, ta.uv2.y,
+         ta.ent.astype(jnp.float32)])
+    e1 = Vec3(e1x, e1y, e1z)
+    e2 = Vec3(e2x, e2y, e2z)
     fn = cross(e1, e2)
     fnl = length(fn)
     face_n = fn * safe_div(1.0, fnl)
 
     u, v = hit.u, hit.v
     w = 1.0 - u - v
-    n0 = g3(scene.tri_attr.n0, tp)
-    n1 = g3(scene.tri_attr.n1, tp)
-    n2 = g3(scene.tri_attr.n2, tp)
+    n0 = Vec3(n0x, n0y, n0z)
+    n1 = Vec3(n1x, n1y, n1z)
+    n2 = Vec3(n2x, n2y, n2z)
     ns = normalize(Vec3(n0.x * w + n1.x * u + n2.x * v,
                         n0.y * w + n1.y * u + n2.y * v,
                         n0.z * w + n1.z * u + n2.z * v))
-    uv0 = g2(scene.tri_attr.uv0, tp)
-    uv1 = g2(scene.tri_attr.uv1, tp)
-    uv2 = g2(scene.tri_attr.uv2, tp)
+    uv0 = Vec2(uv0x, uv0y)
+    uv1 = Vec2(uv1x, uv1y)
+    uv2 = Vec2(uv2x, uv2y)
     uv = Vec2(uv0.x * w + uv1.x * u + uv2.x * v,
               uv0.y * w + uv1.y * u + uv2.y * v)
-    ent = scene.tri_attr.ent[tp]
+    ent = jnp.round(entf).astype(jnp.int32) \
+        if entf.dtype != jnp.int32 else entf
 
     # Miss lanes carry t = FLT_MAX; clamp so downstream math (and its
     # reverse-mode) stays finite — the lanes are masked out anyway.
@@ -261,7 +276,11 @@ def make_bounce(scene: SceneData, settings: RenderSettings, n,
     sel_pdf_const = 1.0 / max(n_lights, 1)
 
     def bounce(state: PathState, b):
-        rays_b = Rays(state.org, state.dir, state.tmin, state.tmax)
+        # Dead lanes get tmax < tmin: the traversal kernels' block-level
+        # chunk culling then skips their work entirely (late wavefront
+        # iterations are mostly dead lanes).
+        rays_b = Rays(state.org, state.dir, state.tmin,
+                      jnp.where(state.alive, state.tmax, -1.0))
         hit = trace_scene(scene, rays_b)
         found = hit.prim >= 0
         result = state.result
@@ -357,6 +376,9 @@ def make_bounce(scene: SceneData, settings: RenderSettings, n,
             svec_fin = ls.pos - surf.point
             sdir = vselect(lp.infinite, sdir_inf, svec_fin)
             stmax = jnp.where(lp.infinite, FLT_MAX, 1.0 - OFFSET)
+            # Lanes that won't use the shadow result (delta BSDFs, dead,
+            # zero contribution) get tmax < tmin so traversal culls them.
+            stmax = jnp.where(want, stmax, -1.0)
             shadow_rays = Rays(surf.point, sdir,
                                jnp.broadcast_to(OFFSET, n), stmax)
             occ = occluded_scene(scene, shadow_rays)

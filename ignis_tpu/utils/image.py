@@ -69,7 +69,10 @@ def save_image(path, img: np.ndarray):
     suffix = Path(path).suffix.lower()
     cv2 = _cv2()
     if suffix == ".exr":
-        ok = cv2.imwrite(path, np.ascontiguousarray(img[..., ::-1]))
+        try:
+            ok = cv2.imwrite(path, np.ascontiguousarray(img[..., ::-1]))
+        except Exception:  # cv2 5.x raises when built without an EXR writer
+            ok = False
         if not ok:
             _write_exr_fallback(path, img)
     elif suffix == ".hdr":

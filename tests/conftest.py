@@ -17,6 +17,15 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# The axon sitecustomize pins the platform via env before conftest runs;
+# jax.config wins over env as long as the backend is uninitialized, so
+# re-pin here — the suite is defined to run on the virtual CPU mesh.
+try:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 REFERENCE_DIR = Path("/root/reference")
 
 

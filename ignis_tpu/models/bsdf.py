@@ -810,8 +810,9 @@ def _sel_sample(m, a: BsdfSample, b: BsdfSample) -> BsdfSample:
 
 def gather_row(materials, mid):
     """Gather a MatParams row-set for per-lane material ids."""
-    g = lambda a: a[mid]
-    gc = lambda c: Color(c.r[mid], c.g[mid], c.b[mid])
+    from ..ops.gather import take_rows
+    g = lambda a: take_rows(a, mid)
+    gc = lambda c: Color(take_rows(c.r, mid), take_rows(c.g, mid), take_rows(c.b, mid))
     return MatParams(kind=g(materials.kind), base=gc(materials.base),
                      extra=gc(materials.extra), extra2=gc(materials.extra2),
                      p0=g(materials.p0), p1=g(materials.p1),

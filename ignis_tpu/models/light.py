@@ -65,7 +65,8 @@ class DirectSample(NamedTuple):
 
 
 def gather_light(lights: Lights, idx) -> LightParams:
-    g = lambda a: a[idx]
+    from ..ops.gather import take_rows
+    g = lambda a: take_rows(a, idx)
     return LightParams(
         kind=g(lights.kind),
         pos=Vec3(g(lights.pos.x), g(lights.pos.y), g(lights.pos.z)),
@@ -88,52 +89,74 @@ def pdf_as_solid(pdf_value, pdf_is_area, cos, dist2):
 # ---------------------------------------------------------------------------
 
 def sample_direct(scene: SceneData, lp: LightParams, from_point: Vec3,
-                  from_entering, u0, u1, eval_texture=None) -> DirectSample:
+                  from_entering, u0, u1, eval_texture=None,
+                  kinds=None) -> DirectSample:
+    """`kinds` is the static set of LightKind values present in the scene
+    (settings.light_kinds); absent kinds' branches are pruned at trace time
+    — the analog of the reference generating one shader per scene
+    (LoaderLight.cpp:82: only used plugins are emitted)."""
     shape = lp.p0.shape
     one = jnp.ones(shape, jnp.float32)
     zero = jnp.zeros(shape, jnp.float32)
     k = lp.kind
+    if kinds is None:
+        kinds = (LightKind.POINT, LightKind.SPOT, LightKind.DIRECTIONAL,
+                 LightKind.SUN, LightKind.AREA, LightKind.ENV)
+    kinds = tuple(int(x) for x in kinds)
 
-    # -- point (point.art) --------------------------------------------------
-    to_l = lp.pos - from_point
-    dist = length(to_l)
-    pdir = to_l * safe_div(1.0, dist)
-    point_s = DirectSample(lp.pos, pdir, lp.intensity, one, one > 0, one, dist)
+    branches = []
 
-    # -- spot (spot.art) ----------------------------------------------------
-    cos_cut = lp.p0
-    cos_fall = lp.p1
-    blend = cos_fall - cos_cut
-    cos_angle = dot(-pdir, lp.dir)
-    tfac = jnp.clip(safe_div(cos_angle - cos_cut, blend), 0.0, 1.0)
-    sfac = jnp.where(blend <= 1e-6,
-                     jnp.where(cos_angle <= cos_cut, 0.0, 1.0),
-                     tfac * tfac * (3.0 - 2.0 * tfac))
-    spot_valid = cos_angle > cos_cut
-    spot_s = DirectSample(lp.pos, pdir, lp.intensity * sfac,
-                          jnp.where(spot_valid, 1.0, 0.0), one > 0,
-                          -dot(pdir, lp.dir), dist)
+    if int(LightKind.POINT) in kinds or int(LightKind.SPOT) in kinds:
+        to_l = lp.pos - from_point
+        dist = length(to_l)
+        pdir = to_l * safe_div(1.0, dist)
+        if int(LightKind.POINT) in kinds:
+            # point (point.art)
+            branches.append((LightKind.POINT, DirectSample(
+                lp.pos, pdir, lp.intensity, one, one > 0, one, dist)))
+        if int(LightKind.SPOT) in kinds:
+            # spot (spot.art)
+            cos_cut = lp.p0
+            cos_fall = lp.p1
+            blend = cos_fall - cos_cut
+            cos_angle = dot(-pdir, lp.dir)
+            tfac = jnp.clip(safe_div(cos_angle - cos_cut, blend), 0.0, 1.0)
+            sfac = jnp.where(blend <= 1e-6,
+                             jnp.where(cos_angle <= cos_cut, 0.0, 1.0),
+                             tfac * tfac * (3.0 - 2.0 * tfac))
+            spot_valid = cos_angle > cos_cut
+            branches.append((LightKind.SPOT, DirectSample(
+                lp.pos, pdir, lp.intensity * sfac,
+                jnp.where(spot_valid, 1.0, 0.0), one > 0,
+                -dot(pdir, lp.dir), dist)))
 
-    # -- directional / sun --------------------------------------------------
-    # lp.dir stores the direction light -> scene; connection dir is -dir.
-    ddir = -lp.dir
-    dir_s = DirectSample(from_point + ddir * (2.0 * scene.scene_radius), ddir,
-                         lp.intensity, one, zero > 1, one,
-                         2.0 * scene.scene_radius)
-    # sun: uniform cone around -dir with cos_angle p0 (sun.art)
-    sun_cos = lp.p0
-    cdir_l, cpdf = sample_uniform_cone(u0, u1, sun_cos)
-    sframe = make_frame(ddir)
-    sdir = sframe.to_world(cdir_l)
-    sun_s = DirectSample(from_point + sdir * (2.0 * scene.scene_radius), sdir,
-                         lp.intensity * safe_div(1.0, cpdf), cpdf, zero > 1,
-                         one, 2.0 * scene.scene_radius)
+    if int(LightKind.DIRECTIONAL) in kinds or int(LightKind.SUN) in kinds:
+        # lp.dir stores the direction light -> scene; connection dir is -dir.
+        ddir = -lp.dir
+        if int(LightKind.DIRECTIONAL) in kinds:
+            branches.append((LightKind.DIRECTIONAL, DirectSample(
+                from_point + ddir * (2.0 * scene.scene_radius), ddir,
+                lp.intensity, one, zero > 1, one, 2.0 * scene.scene_radius)))
+        if int(LightKind.SUN) in kinds:
+            # sun: uniform cone around -dir with cos_angle p0 (sun.art)
+            sun_cos = lp.p0
+            cdir_l, cpdf = sample_uniform_cone(u0, u1, sun_cos)
+            sframe = make_frame(ddir)
+            sdir = sframe.to_world(cdir_l)
+            branches.append((LightKind.SUN, DirectSample(
+                from_point + sdir * (2.0 * scene.scene_radius), sdir,
+                lp.intensity * safe_div(1.0, cpdf), cpdf, zero > 1,
+                one, 2.0 * scene.scene_radius)))
 
-    # -- area (area.art + CDF face sampling) --------------------------------
-    area_s = _sample_area_direct(scene, lp, from_point, from_entering, u0, u1)
+    if int(LightKind.AREA) in kinds:
+        # area (area.art + CDF face sampling)
+        branches.append((LightKind.AREA, _sample_area_direct(
+            scene, lp, from_point, from_entering, u0, u1)))
 
-    # -- env (env.art) ------------------------------------------------------
-    env_s = _sample_env_direct(scene, lp, from_point, u0, u1, eval_texture)
+    if int(LightKind.ENV) in kinds:
+        # env (env.art)
+        branches.append((LightKind.ENV, _sample_env_direct(
+            scene, lp, from_point, u0, u1, eval_texture)))
 
     def sel(kv, s, cur):
         m = k == kv
@@ -145,12 +168,13 @@ def sample_direct(scene: SceneData, lp: LightParams, from_point: Vec3,
                             jnp.where(m, s.cos, cur.cos),
                             jnp.where(m, s.dist, cur.dist))
 
-    out = point_s
-    out = sel(LightKind.SPOT, spot_s, out)
-    out = sel(LightKind.DIRECTIONAL, dir_s, out)
-    out = sel(LightKind.SUN, sun_s, out)
-    out = sel(LightKind.AREA, area_s, out)
-    out = sel(LightKind.ENV, env_s, out)
+    if not branches:
+        z3 = Vec3(zero, zero, zero)
+        return DirectSample(z3, z3, Color(zero, zero, zero), zero, zero > 1,
+                            zero, one)
+    out = branches[0][1]
+    for kv, s in branches[1:]:
+        out = sel(kv, s, out)
     return out
 
 
@@ -444,7 +468,8 @@ def selector_pdf(settings, lights: Lights, light_row, pos: Vec3 = None):
         h_pdf = hierarchy_pdf(lights, light_row, pos)
         if n_inf == 0:
             return h_pdf
-        is_inf = lights.infinite[jnp.clip(light_row, 0, None)]
+        from ..ops.gather import take_rows
+        is_inf = take_rows(lights.infinite, jnp.clip(light_row, 0, None))
         return jnp.where(is_inf, 0.5 / n_inf, h_pdf * 0.5)
     if getattr(settings, "light_selector", "uniform") == "cdf" \
             and lights.select_cdf.shape[0] == settings.n_lights:

@@ -1293,6 +1293,7 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         has_bump=any(r["bump_kind"] != 0 and r["bump_tex"] >= 0
                      for r in mat_rows),
         bsdf_kinds=tuple(sorted({int(r["kind"]) for r in mat_rows})),
+        light_kinds=tuple(sorted({int(r["kind"]) for r in l_rows})),
         debug_mode=_debug_mode_of(tech) if tech else 0,
         # photon mapping (PhotonMappingTechnique.cpp:14-20); the reference
         # default of 1e6 photons is kept, overridable for tests

@@ -211,3 +211,5 @@ class RenderSettings:
     ppm_cell_cap: int = 32       # photons gathered per cell (truncation cap)
     # static set of BsdfKind ints present in the scene (dispatch pruning)
     bsdf_kinds: Tuple = None
+    # static set of LightKind ints present (light dispatch pruning)
+    light_kinds: Tuple = None

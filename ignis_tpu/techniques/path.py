@@ -168,10 +168,12 @@ def make_surface_ctx(scene: SceneData, rays: Rays, surf: Surface,
 
 def gather_material(scene: SceneData, surf: Surface, eval_texture=None,
                     ctx=None) -> MatParams:
+    from ..ops.gather import take_rows
     m = scene.materials
-    mid = scene.entities.mat[jnp.clip(surf.ent, 0, None)]
-    g = lambda a: a[mid]
-    gc = lambda c: Color(c.r[mid], c.g[mid], c.b[mid])
+    mid = take_rows(scene.entities.mat, jnp.clip(surf.ent, 0, None))
+    g = lambda a: take_rows(a, mid)
+    gc = lambda c: Color(take_rows(c.r, mid), take_rows(c.g, mid),
+                         take_rows(c.b, mid))
     mat = MatParams(kind=g(m.kind), base=gc(m.base), extra=gc(m.extra),
                     extra2=gc(m.extra2), p0=g(m.p0), p1=g(m.p1), p2=g(m.p2),
                     p3=g(m.p3), q0=g(m.q0), q1=g(m.q1), q2=g(m.q2),
@@ -179,10 +181,10 @@ def gather_material(scene: SceneData, surf: Surface, eval_texture=None,
                     q7=g(m.q7), q8=g(m.q8))
     if eval_texture is not None:
         lookup_ctx = ctx if ctx is not None else surf.uv
-        base_tex = m.base_tex[mid]
+        base_tex = take_rows(m.base_tex, mid)
         tex_col = eval_texture(base_tex, lookup_ctx)
         mat = mat._replace(base=cselect(base_tex >= 0, tex_col, mat.base))
-        extra_tex = m.extra_tex[mid]
+        extra_tex = take_rows(m.extra_tex, mid)
         tex_col2 = eval_texture(extra_tex, lookup_ctx)
         mat = mat._replace(extra=cselect(extra_tex >= 0, tex_col2, mat.extra))
     return mat
@@ -195,9 +197,10 @@ def apply_normal_map(scene: SceneData, settings: RenderSettings,
     scene contains mapped BSDFs (settings.has_bump, statically pruned)."""
     if not settings.has_bump or eval_texture is None:
         return surf
-    bk = scene.materials.bump_kind[mid]
-    bt = jnp.clip(scene.materials.bump_tex[mid], 0, None)
-    bs = scene.materials.bump_strength[mid]
+    from ..ops.gather import take_rows
+    bk = take_rows(scene.materials.bump_kind, mid)
+    bt = jnp.clip(take_rows(scene.materials.bump_tex, mid), 0, None)
+    bs = take_rows(scene.materials.bump_strength, mid)
     fr = make_frame(surf.ns)
     ctx = sctx if sctx is not None else surf.uv
 
@@ -309,12 +312,13 @@ def make_bounce(scene: SceneData, settings: RenderSettings, n,
                 if eval_texture is not None else None)
         mat = gather_material(scene, surf, eval_texture, sctx)
         out_dir = -state.dir
-        mid = scene.entities.mat[jnp.clip(surf.ent, 0, None)]
+        from ..ops.gather import take_rows
+        mid = take_rows(scene.entities.mat, jnp.clip(surf.ent, 0, None))
         surf = apply_normal_map(scene, settings, surf, sctx, eval_texture, mid)
         frame = make_frame(surf.ns)
         w_override = None
         if settings.has_blend and eval_texture is not None:
-            p0t = scene.materials.p0_tex[mid]
+            p0t = take_rows(scene.materials.p0_tex, mid)
             wtex = eval_texture(p0t, sctx if sctx is not None else surf.uv)
             w_override = jnp.where(p0t >= 0, wtex.r, mat.p0)
         shader = bsdflib.make_lane_shader(scene.materials, mid, mat, frame,
@@ -325,7 +329,7 @@ def make_bounce(scene: SceneData, settings: RenderSettings, n,
         all_delta = shader.is_all_delta()
 
         # Emission on hit (on_hit, pathtracer.art:120)
-        light_row = scene.entities.light[jnp.clip(surf.ent, 0, None)]
+        light_row = take_rows(scene.entities.light, jnp.clip(surf.ent, 0, None))
         is_emissive = light_row >= 0
         lp_hit = lightlib.gather_light(scene.lights, jnp.clip(light_row, 0, None))
         cos_l = -dot(state.dir, frame.n)
@@ -357,7 +361,8 @@ def make_bounce(scene: SceneData, settings: RenderSettings, n,
                                                   ul, surf.point)
             lp = lightlib.gather_light(scene.lights, lsel)
             ls = lightlib.sample_direct(scene, lp, surf.point,
-                                        surf.is_entering, u0, u1, eval_texture)
+                                        surf.is_entering, u0, u1, eval_texture,
+                                        kinds=settings.light_kinds)
             pdf_l_s = lightlib.pdf_as_solid(ls.pdf_value, ls.pdf_is_area,
                                             ls.cos, ls.dist * ls.dist) * sel_pdf
             bsdf_f = shader.eval(ls.dir, out_dir)

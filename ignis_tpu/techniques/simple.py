@@ -147,7 +147,8 @@ def light_visibility_trace(scene: SceneData, settings: RenderSettings,
     lsel, _ = lightlib.select_uniform(settings.n_lights, ul)
     lp = lightlib.gather_light(scene.lights, lsel)
     ls = lightlib.sample_direct(scene, lp, surf.point, surf.is_entering,
-                                u0, u1, eval_texture)
+                                u0, u1, eval_texture,
+                                kinds=settings.light_kinds)
     from ..core.vec import vselect
     sdir = vselect(lp.infinite, ls.dir, ls.pos - surf.point)
     stmax = jnp.where(lp.infinite, FLT_MAX, 1.0 - OFFSET)

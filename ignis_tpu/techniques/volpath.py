@@ -144,7 +144,8 @@ def volpath_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
                                                   ul, surf.point)
             lp = lightlib.gather_light(scene.lights, lsel)
             ls = lightlib.sample_direct(scene, lp, surf.point,
-                                        surf.is_entering, u0, u1, eval_texture)
+                                        surf.is_entering, u0, u1, eval_texture,
+                                        kinds=settings.light_kinds)
             pdf_l_s = lightlib.pdf_as_solid(ls.pdf_value, ls.pdf_is_area,
                                             ls.cos, ls.dist * ls.dist) * sel_pdf
             bsdf_f = shader.eval(ls.dir, out_dir)

@@ -187,18 +187,35 @@ def sample_area_point(scene: SceneData, lp: LightParams, u0, u1):
     n = scene.lights.area_cdf.shape[0]
     pos = jnp.clip(jnp.searchsorted(scene.lights.area_cdf, key, side="right"),
                    0, max(n - 1, 0))
-    lo = jnp.where(pos > 0, scene.lights.area_cdf[jnp.maximum(pos - 1, 0)],
-                   0.0) - lrow.astype(jnp.float32)
+    # One batched one-hot gather for (cdf[pos-1], cdf[pos], tri_id), then a
+    # second one for the sampled triangle's 9 vertex columns — XLA's 1D
+    # gather costs ~2 ms/262k lanes on TPU; these two MXU gathers are ~1 ms
+    # total (was the single hottest non-kernel cost of area-light scenes).
+    from ..ops.gather import gather_cols
+    cdf = scene.lights.area_cdf
+    cdf_prev = jnp.concatenate([jnp.zeros((1,), cdf.dtype), cdf[:-1]])
+    # tri ids split into two <4096 columns so the bf16 hi/lo one-hot matmul
+    # reconstructs them exactly at any triangle count
+    at = scene.lights.area_tris
+    cdf_lo, cdf_hi, tri_hi_f, tri_lo_f = gather_cols(
+        pos, [cdf_prev, cdf, (at >> 12).astype(jnp.float32),
+              (at & 0xFFF).astype(jnp.float32)])
+    lo = jnp.where(pos > 0, cdf_lo, 0.0) - lrow.astype(jnp.float32)
     lo = jnp.clip(lo, 0.0, 1.0)
-    hi = jnp.clip(scene.lights.area_cdf[pos] - lrow.astype(jnp.float32), 0.0, 1.0)
+    hi = jnp.clip(cdf_hi - lrow.astype(jnp.float32), 0.0, 1.0)
     seg = hi - lo
     ur = jnp.where(seg > 0, (jnp.clip(u0, 0.0, 0.999999) - lo)
                    / jnp.where(seg > 0, seg, 1.0), 0.0)
 
-    tri = scene.lights.area_tris[pos]
-    v0 = Vec3(scene.tris.v0.x[tri], scene.tris.v0.y[tri], scene.tris.v0.z[tri])
-    e1 = Vec3(scene.tris.e1.x[tri], scene.tris.e1.y[tri], scene.tris.e1.z[tri])
-    e2 = Vec3(scene.tris.e2.x[tri], scene.tris.e2.y[tri], scene.tris.e2.z[tri])
+    tri = (jnp.round(tri_hi_f).astype(jnp.int32) << 12) \
+        | jnp.round(tri_lo_f).astype(jnp.int32)
+    (v0x_, v0y_, v0z_, e1x_, e1y_, e1z_, e2x_, e2y_, e2z_) = gather_cols(
+        tri, [scene.tris.v0.x, scene.tris.v0.y, scene.tris.v0.z,
+              scene.tris.e1.x, scene.tris.e1.y, scene.tris.e1.z,
+              scene.tris.e2.x, scene.tris.e2.y, scene.tris.e2.z])
+    v0 = Vec3(v0x_, v0y_, v0z_)
+    e1 = Vec3(e1x_, e1y_, e1z_)
+    e2 = Vec3(e2x_, e2y_, e2z_)
     bu, bv = sample_triangle(jnp.clip(ur, 0.0, 1.0), u1)
     p = v0 + e1 * bu + e2 * bv
     fn = cross(e1, e2)

@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 FLT_MAX = 3.0e38  # python float: jnp module constants become captured tracers
 import os as _os
 LANE_BLOCK = int(_os.environ.get('IGNIS_TPU_LANE_BLOCK', '1024'))
-_PREC = _os.environ.get('IGNIS_TPU_MXU_PREC', 'highest')
+_PREC = _os.environ.get('IGNIS_TPU_MXU_PREC', 'high')
 TRI_CHUNK = 128
 EPS = 1e-9
 MISS_KEY = 0x7F800000  # +inf bits: any finite packed key compares below
@@ -107,7 +107,18 @@ def _chunk_bounds(v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, n_chunks):
     return jnp.stack([nx, ny, nz, xx, xy, xz, zero, zero], 0)
 
 
-def _isect_kernel(n_chunks: int, idx_mask: int, any_hit: bool,
+def build_tri_soa(v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z):
+    """[n_chunks, NF, TRI_CHUNK] raw SoA blocks for the VPU kernel.
+
+    Rows 0-8: v0 | e1 | e2 components; rest zero padding (sublane align)."""
+    T = v0x.shape[0]
+    n_chunks = T // TRI_CHUNK
+    tv = jnp.stack([v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z], 0)
+    tv = jnp.pad(tv, ((0, NF - 9), (0, 0)))                  # [NF, T]
+    return jnp.transpose(tv.reshape(NF, n_chunks, TRI_CHUNK), (1, 0, 2))
+
+
+def _isect_kernel(n_chunks: int, idx_mask: int, any_hit: bool, vpu: bool,
                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                   tmin_ref, tmax_ref, g_ref, vis_ref, bounds_ref,
                   t_ref, prim_ref, u_ref, v_ref):
@@ -158,19 +169,57 @@ def _isect_kernel(n_chunks: int, idx_mask: int, any_hit: bool,
         mask = jnp.int32(-1)
 
     def chunk_sweep(cid, carry):
-        g = g_ref[cid]                                        # [NF, 4C]
-        out = jax.lax.dot_general(
-            F, g, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=(jax.lax.Precision.HIGHEST if _PREC == 'highest' else jax.lax.Precision.DEFAULT))              # [nb, 4C]
-        det = out[:, 0 * TRI_CHUNK:1 * TRI_CHUNK]
-        ud = out[:, 1 * TRI_CHUNK:2 * TRI_CHUNK]
-        vd = out[:, 2 * TRI_CHUNK:3 * TRI_CHUNK]
-        td = out[:, 3 * TRI_CHUNK:4 * TRI_CHUNK]
-        inv_det = 1.0 / jnp.where(jnp.abs(det) < EPS, 1.0, det)
-        u = ud * inv_det
-        v = vd * inv_det
-        t = td * inv_det
+        if vpu:
+            # Direct Moller-Trumbore on the VPU: ~55 elementwise flops per
+            # ray/tri pair beats the bilinear-form matmul (whose contraction
+            # is only 16 of the MXU's 128 rows) for fp32 closest-hit.
+            tv = g_ref[cid]                                   # [NF, C]
+            tv0x, tv0y, tv0z = tv[0:1], tv[1:2], tv[2:3]      # [1, C]
+            te1x, te1y, te1z = tv[3:4], tv[4:5], tv[5:6]
+            te2x, te2y, te2z = tv[6:7], tv[7:8], tv[8:9]
+            pvx = dy * te2z - dz * te2y                       # d x e2  [nb, C]
+            pvy = dz * te2x - dx * te2z
+            pvz = dx * te2y - dy * te2x
+            det = te1x * pvx + te1y * pvy + te1z * pvz
+            tvx = ox - tv0x
+            tvy = oy - tv0y
+            tvz = oz - tv0z
+            qvx = tvy * te1z - tvz * te1y                     # tvec x e1
+            qvy = tvz * te1x - tvx * te1z
+            qvz = tvx * te1y - tvy * te1x
+            inv_det = 1.0 / jnp.where(jnp.abs(det) < EPS, 1.0, det)
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            t = (te2x * qvx + te2y * qvy + te2z * qvz) * inv_det
+        else:
+            g = g_ref[cid]                                    # [NF, 4C]
+            dn = (((1,), (0,)), ((), ()))
+            if _PREC == "highest":
+                out = jax.lax.dot_general(
+                    F, g, dn, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)      # [nb, 4C]
+            elif _PREC == "high":
+                # Manual bf16x3 (Mosaic lacks Precision.HIGH): hi/lo splits,
+                # f32 accumulation — ~f32 accuracy at 3 bf16 passes.
+                F_hi = F.astype(jnp.bfloat16)
+                F_lo = (F - F_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                g_hi = g.astype(jnp.bfloat16)
+                g_lo = (g - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                mm = lambda a, b: jax.lax.dot_general(
+                    a, b, dn, preferred_element_type=jnp.float32)
+                out = mm(F_hi, g_hi) + mm(F_hi, g_lo) + mm(F_lo, g_hi)
+            else:
+                out = jax.lax.dot_general(
+                    F, g, dn, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT)
+            det = out[:, 0 * TRI_CHUNK:1 * TRI_CHUNK]
+            ud = out[:, 1 * TRI_CHUNK:2 * TRI_CHUNK]
+            vd = out[:, 2 * TRI_CHUNK:3 * TRI_CHUNK]
+            td = out[:, 3 * TRI_CHUNK:4 * TRI_CHUNK]
+            inv_det = 1.0 / jnp.where(jnp.abs(det) < EPS, 1.0, det)
+            u = ud * inv_det
+            v = vd * inv_det
+            t = td * inv_det
         ok = ((jnp.abs(det) >= EPS) & (u >= 0.0) & (v >= 0.0)
               & (u + v <= 1.0) & (t > tmin) & (t < tmax))
         if any_hit:
@@ -240,13 +289,18 @@ def _intersect_impl(ox, oy, oz, dx, dy, dz, tmin, tmax,
     idx_bits = max(1, (T - 1)).bit_length()
     idx_mask = (1 << idx_bits) - 1
 
-    g = build_tri_features(v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z)
+    vpu = _os.environ.get("IGNIS_TPU_ISECT", "mxu") == "vpu"
+    if vpu:
+        g = build_tri_soa(v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z)
+    else:
+        g = build_tri_features(v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z)
     bounds = _chunk_bounds(v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
                            n_chunks)
     lane_spec = pl.BlockSpec((LANE_BLOCK,), lambda i: (i,),
                              memory_space=pltpu.VMEM)
     full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    kernel = functools.partial(_isect_kernel, n_chunks, idx_mask, any_hit)
+    kernel = functools.partial(_isect_kernel, n_chunks, idx_mask, any_hit,
+                               vpu)
     t, prim, u, v = pl.pallas_call(
         kernel,
         grid=(n_pad // LANE_BLOCK,),

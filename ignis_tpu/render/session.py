@@ -126,12 +126,29 @@ def _render_iteration_impl(scene: SceneData, settings: RenderSettings,
     if settings.technique in ("path", "pt") and not settings.remat:
         # Persistent-lane progressive path: all spi samples in one
         # regenerating wavefront (keeps lanes busy through the RR tail).
+        # Lanes are laid out in 32x32 pixel tiles (the reference's CPU tile
+        # parallelism, mapping_cpu.art:731) so each 1024-lane Pallas block
+        # covers a compact frustum and chunk-AABB culling can fire; the
+        # inverse is a pure reshape/transpose.
         from ..techniques.path import path_trace_progressive
+        TILE = 32
+        tiled = (w % TILE == 0) and (h % TILE == 0)
+        if tiled:
+            def tile_lanes(a):
+                return a.reshape(h // TILE, TILE, w // TILE, TILE) \
+                    .transpose(0, 2, 1, 3).reshape(-1)
+
+            def untile(a):
+                return a.reshape(h // TILE, w // TILE, TILE, TILE) \
+                    .transpose(0, 2, 1, 3).reshape(h, w)
+            x, y = tile_lanes(x.reshape(h, w)), tile_lanes(y.reshape(h, w))
+        else:
+            untile = lambda a: a.reshape(h, w)
         color = path_trace_progressive(scene, settings, x, y, iteration,
                                        frame, eval_texture)
         inv = 1.0 / settings.spi
-        return jnp.stack([color.r.reshape(h, w), color.g.reshape(h, w),
-                          color.b.reshape(h, w)], axis=-1) * inv
+        return jnp.stack([untile(color.r), untile(color.g),
+                          untile(color.b)], axis=-1) * inv
 
     from ..core.sampler import sample_pixel_offsets
     for s in range(settings.spi):

@@ -19,6 +19,37 @@ from ..core.vec import Color, Vec2, Vec3
 from ..models.bsdf import BsdfKind
 from ..models.light import LightKind
 from ..ops.intersect import TRI_CHUNK, SphereSoup, TriSoup
+
+# Spatial clustering granularity for the dense sweep (= Pallas kernel chunk,
+# ops/pallas_isect.py TRI_CHUNK); TRI_CHUNK above (256) is the pad multiple.
+PALLAS_CHUNK = 128
+
+
+def _chunk_cluster_perm(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
+                        chunk: int) -> np.ndarray:
+    """Permutation grouping triangles into spatially tight, chunk-aligned
+    clusters (recursive longest-axis median split with splits rounded to
+    chunk multiples). Keeps each [chunk]-wide intersection tile's AABB small
+    so block-coherent chunk culling can skip it."""
+    n = v0.shape[0]
+    cent = v0 + (e1 + e2) * (1.0 / 3.0)
+    out: List[np.ndarray] = []
+
+    def rec(ids: np.ndarray):
+        if len(ids) <= chunk:
+            out.append(ids)
+            return
+        c = cent[ids]
+        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        order = ids[np.argsort(c[:, ax], kind="stable")]
+        half = len(ids) // 2
+        split = int(round(half / chunk)) * chunk
+        split = min(max(chunk, split), (len(ids) - 1) // chunk * chunk)
+        rec(order[:split])
+        rec(order[split:])
+
+    rec(np.arange(n, dtype=np.int32))
+    return np.concatenate(out)
 from ..scenedata import (CameraData, Entities, EnvMap, Lights, Materials, Media,
                          RenderSettings, SceneData, SphereAttributes,
                          TriAttributes)
@@ -1007,8 +1038,27 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
     # --- pack tables -------------------------------------------------------
     n_tris = len(tri_v0)
 
+    def _reorder_soup(perm):
+        # Reorders every per-triangle column and remaps area-light tri ids.
+        nonlocal tri_v0, tri_e1, tri_e2, tri_ent, tri_area, tri_shadow, \
+            area_tris
+        inv_perm = np.empty_like(perm)
+        inv_perm[perm] = np.arange(len(perm), dtype=perm.dtype)
+        tri_v0 = list(np.asarray(tri_v0, np.float32).reshape(-1, 3)[perm])
+        tri_e1 = list(np.asarray(tri_e1, np.float32).reshape(-1, 3)[perm])
+        tri_e2 = list(np.asarray(tri_e2, np.float32).reshape(-1, 3)[perm])
+        for k in range(3):
+            arr = np.asarray(tri_n[k], np.float32).reshape(-1, 3)[perm]
+            tri_n[k][:] = list(arr)
+            arr2 = np.asarray(tri_uv[k], np.float32).reshape(-1, 2)[perm]
+            tri_uv[k][:] = list(arr2)
+        tri_ent = list(np.asarray(tri_ent, np.int32)[perm])
+        tri_area = list(np.asarray(tri_area, np.float32)[perm])
+        tri_shadow = list(np.asarray(tri_shadow, bool)[perm])
+        area_tris = [int(inv_perm[i]) for i in area_tris]
+
     # BVH for large scenes (reorders the soup so leaves are contiguous;
-    # area-light tri indices are remapped below via inv permutation)
+    # area-light tri indices are remapped via inv permutation)
     bvh_arrays = None
     BVH_THRESHOLD = 4096
     if n_tris >= BVH_THRESHOLD:
@@ -1022,25 +1072,21 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         bvh_np = build_bvh8_native(_v0, _e1, _e2)
         if bvh_np is None:
             bvh_np = build_bvh8(_v0, _e1, _e2)
-        perm = bvh_np.prim_order
-        inv_perm = np.empty_like(perm)
-        inv_perm[perm] = np.arange(len(perm), dtype=np.int32)
-        tri_v0 = list(_v0[perm])
-        tri_e1 = list(_e1[perm])
-        tri_e2 = list(_e2[perm])
-        for k in range(3):
-            arr = np.asarray(tri_n[k], np.float32).reshape(-1, 3)[perm]
-            tri_n[k][:] = list(arr)
-            arr2 = np.asarray(tri_uv[k], np.float32).reshape(-1, 2)[perm]
-            tri_uv[k][:] = list(arr2)
-        tri_ent = list(np.asarray(tri_ent, np.int32)[perm])
-        tri_area = list(np.asarray(tri_area, np.float32)[perm])
-        tri_shadow = list(np.asarray(tri_shadow, bool)[perm])
-        area_tris = [int(inv_perm[i]) for i in area_tris]
+        _reorder_soup(bvh_np.prim_order)
         from ..ops.bvh import BVHArrays
         bvh_arrays = BVHArrays(*[jnp.asarray(a) for a in (
             bvh_np.cmin_x, bvh_np.cmin_y, bvh_np.cmin_z,
             bvh_np.cmax_x, bvh_np.cmax_y, bvh_np.cmax_z, bvh_np.child)])
+    elif n_tris > PALLAS_CHUNK:
+        # Dense-sweep path: cluster the soup so every 128-tri Pallas chunk
+        # is spatially tight — the per-block chunk-AABB culling in
+        # ops/pallas_isect.py only fires when chunk bounds are small.
+        # (The reference gets the same locality for free from its per-shape
+        # BVH leaf order, bvh/TriBVHAdapter.h.)
+        _reorder_soup(_chunk_cluster_perm(
+            np.asarray(tri_v0, np.float32).reshape(-1, 3),
+            np.asarray(tri_e1, np.float32).reshape(-1, 3),
+            np.asarray(tri_e2, np.float32).reshape(-1, 3), PALLAS_CHUNK))
 
     pad = (-n_tris) % TRI_CHUNK
     if n_tris == 0:

@@ -17,11 +17,15 @@ import jax.numpy as jnp
 
 U32 = jnp.uint32
 
-_FNV_OFFSET = jnp.uint32(0x811C9DC5)
-_FNV_PRIME = jnp.uint32(0x01000193)
+# Python ints, NOT jnp scalars: module-level device arrays become
+# jit-captured buffers, which cost a full host round-trip per call on
+# remote-attached TPU backends. Weak-typed int literals fold into the
+# uint32 ops for free.
+_FNV_OFFSET = 0x811C9DC5
+_FNV_PRIME = 0x01000193
 
-_PCG_MULT = jnp.uint32(747796405)
-_PCG_INC = jnp.uint32(2891336453)
+_PCG_MULT = 747796405
+_PCG_INC = 2891336453
 
 
 def fnv_hash(h, x):
@@ -42,7 +46,8 @@ def seed(sample, iteration, frame, x, y, user_seed):
 
 
 def _pcg_step(state):
-    return state * _PCG_MULT + _PCG_INC
+    # jnp.uint32() at trace time (literals > int32 max overflow weak typing)
+    return state * jnp.uint32(_PCG_MULT) + jnp.uint32(_PCG_INC)
 
 
 def _pcg_output(state):

@@ -10,11 +10,15 @@ import jax.numpy as jnp
 
 from .vec import Vec2, Vec3, safe_div
 
-PI = jnp.float32(jnp.pi)
-TWO_PI = jnp.float32(2.0 * jnp.pi)
-INV_PI = jnp.float32(1.0 / jnp.pi)
-INV_2PI = jnp.float32(1.0 / (2.0 * jnp.pi))
-INV_4PI = jnp.float32(1.0 / (4.0 * jnp.pi))
+# Python floats (f32-rounded), NOT jnp scalars: module-level device
+# arrays become jit-captured buffers (host round-trip per call on
+# remote-attached TPUs). float(np.float32(x)) keeps f32 precision.
+import numpy as _np
+PI = float(_np.float32(_np.pi))
+TWO_PI = float(_np.float32(2.0 * _np.pi))
+INV_PI = float(_np.float32(1.0 / _np.pi))
+INV_2PI = float(_np.float32(1.0 / (2.0 * _np.pi)))
+INV_4PI = float(_np.float32(1.0 / (4.0 * _np.pi)))
 
 
 def safe_sqrt(x):

@@ -27,7 +27,7 @@ from ..core.warp import (INV_4PI, PI, TWO_PI, dir_from_spherical,
 from ..core.frame import make_frame
 from ..scenedata import Lights, SceneData
 
-FLT_MAX = jnp.float32(3.0e38)
+FLT_MAX = 3.0e38  # python float: jnp module constants become captured buffers
 
 
 class LightKind(IntEnum):

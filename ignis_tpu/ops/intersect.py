@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..core.vec import Vec3, cross, dot
 
 TRI_CHUNK = 256
-FLT_MAX = jnp.float32(3.0e38)
+FLT_MAX = 3.0e38  # python float: jnp module constants become captured buffers
 
 
 class Rays(NamedTuple):

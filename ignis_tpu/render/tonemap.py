@@ -16,13 +16,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# sRGB <-> XYZ (D65)
-_RGB2XYZ = jnp.asarray([[0.4124564, 0.3575761, 0.1804375],
-                        [0.2126729, 0.7151522, 0.0721750],
-                        [0.0193339, 0.1191920, 0.9503041]], jnp.float32)
-_XYZ2RGB = jnp.asarray([[3.2404542, -1.5371385, -0.4985314],
-                        [-0.9692660, 1.8760108, 0.0415560],
-                        [0.0556434, -0.2040259, 1.0572252]], jnp.float32)
+# sRGB <-> XYZ (D65). numpy (not jnp): module-level device arrays become
+# jit-captured buffers, costing a host round-trip per call on remote TPUs.
+_RGB2XYZ = np.asarray([[0.4124564, 0.3575761, 0.1804375],
+                       [0.2126729, 0.7151522, 0.0721750],
+                       [0.0193339, 0.1191920, 0.9503041]], np.float32)
+_XYZ2RGB = np.asarray([[3.2404542, -1.5371385, -0.4985314],
+                       [-0.9692660, 1.8760108, 0.0415560],
+                       [0.0556434, -0.2040259, 1.0572252]], np.float32)
 
 TONEMAP_METHODS = {"none": 0, "linear": 0, "reinhard": 1,
                    "reinhard_modified": 2, "modified_reinhard": 2,

@@ -34,7 +34,7 @@ from ..ops import intersect as isect
 from ..ops.intersect import FLT_MAX, Hit, Rays
 from ..scenedata import RenderSettings, SceneData
 
-OFFSET = jnp.float32(1e-3)
+OFFSET = 1e-3  # python float: jnp module constants become captured buffers
 
 
 class Surface(NamedTuple):

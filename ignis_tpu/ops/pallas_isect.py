@@ -25,6 +25,14 @@ minimum of `(t_bits & ~IDX_MASK) | global_prim_id` — for positive
 floats the i32 bitcast is order-preserving — plus the winner's t/u/v.
 One cross-lane min after the loop resolves the closest hit; there are
 no reductions, gathers, or scatters inside the chunk loop.
+
+Tie-break caveat (documented, by design): packing strips the low
+idx_bits of t's mantissa, so hits whose t differ by less than ~2^-(23 -
+idx_bits) relative (~2e-4 at 4096 tris) quantize to the same key and
+the LOWEST prim id wins — not necessarily the true nearest. Exact-t
+A/B comparisons against the XLA scan path can disagree on
+near-coplanar/overlapping geometry; radiometry is unaffected (either
+surface is a valid hit at that t).
 """
 from __future__ import annotations
 
@@ -39,6 +47,10 @@ FLT_MAX = 3.0e38  # python float: jnp module constants become captured tracers
 import os as _os
 LANE_BLOCK = int(_os.environ.get('IGNIS_TPU_LANE_BLOCK', '1024'))
 _PREC = _os.environ.get('IGNIS_TPU_MXU_PREC', 'high')
+# Default is the fp32 VPU sweep: exact f32 Moller-Trumbore. The MXU
+# bilinear-form path ('mxu') trades accuracy (bf16x3 ~1e-3 rel on t) for
+# MXU throughput and is opt-in for throughput experiments.
+_ISECT_DEFAULT = _os.environ.get("IGNIS_TPU_ISECT", "vpu")
 TRI_CHUNK = 128
 EPS = 1e-9
 MISS_KEY = 0x7F800000  # +inf bits: any finite packed key compares below
@@ -118,6 +130,29 @@ def build_tri_soa(v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z):
     return jnp.transpose(tv.reshape(NF, n_chunks, TRI_CHUNK), (1, 0, 2))
 
 
+def _mt_terms(ox, oy, oz, dx, dy, dz,
+              v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z):
+    """Differentiable Möller-Trumbore (intersection.art:74 semantics).
+
+    Broadcast-agnostic: ray components and triangle components may carry
+    any mutually broadcastable shapes. Returns (t, u, v, det)."""
+    pvx = dy * e2z - dz * e2y                                 # d x e2
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    tvx = ox - v0x
+    tvy = oy - v0y
+    tvz = oz - v0z
+    qvx = tvy * e1z - tvz * e1y                               # tvec x e1
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < EPS, 1.0, det)
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+    return t, u, v, det
+
+
 def _isect_kernel(n_chunks: int, idx_mask: int, any_hit: bool, vpu: bool,
                   ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                   tmin_ref, tmax_ref, g_ref, vis_ref, bounds_ref,
@@ -161,12 +196,22 @@ def _isect_kernel(n_chunks: int, idx_mask: int, any_hit: bool, vpu: bool,
                                    jnp.maximum(t0y, t1y)),
                        jnp.minimum(jnp.maximum(t0z, t1z), tmax))
     act = (tnear <= tfar).astype(jnp.int32)                   # (nb, n_chunks)
-    pow2 = jnp.int32(1) << jax.lax.broadcasted_iota(
-        jnp.int32, (nb, act.shape[1]), 1)
-    if _os.environ.get("IGNIS_TPU_CULL", "1") == "1":
-        mask = jnp.sum(jnp.max(act * pow2, axis=0)).astype(jnp.int32)
+    # uint32 bitmask; chunk 31's bit is the sign bit (the round-1 int32
+    # mask silently dropped chunk 31 — the last 128 triangles of a
+    # 4096-tri scene — whenever any ray in the block missed its AABB).
+    # Mosaic lacks unsigned reductions, so bits 0..30 are summed in int32
+    # and bit 31 is OR'd in as a scalar.
+    if _os.environ.get("IGNIS_TPU_CULL", "1") == "1" and n_chunks <= 32:
+        any_c = jnp.max(act, axis=0, keepdims=True)           # (1, n_chunks)
+        cidx = jax.lax.broadcasted_iota(jnp.int32, any_c.shape, 1)
+        low_bits = jnp.where(cidx < 31,
+                             jnp.left_shift(any_c, jnp.minimum(cidx, 30)), 0)
+        mask = jnp.sum(low_bits).astype(jnp.uint32)
+        if n_chunks == 32:
+            mask = mask | jnp.left_shift(any_c[0, 31].astype(jnp.uint32),
+                                         jnp.uint32(31))
     else:
-        mask = jnp.int32(-1)
+        mask = ~jnp.uint32(0)
 
     def chunk_sweep(cid, carry):
         if vpu:
@@ -174,23 +219,11 @@ def _isect_kernel(n_chunks: int, idx_mask: int, any_hit: bool, vpu: bool,
             # ray/tri pair beats the bilinear-form matmul (whose contraction
             # is only 16 of the MXU's 128 rows) for fp32 closest-hit.
             tv = g_ref[cid]                                   # [NF, C]
-            tv0x, tv0y, tv0z = tv[0:1], tv[1:2], tv[2:3]      # [1, C]
-            te1x, te1y, te1z = tv[3:4], tv[4:5], tv[5:6]
-            te2x, te2y, te2z = tv[6:7], tv[7:8], tv[8:9]
-            pvx = dy * te2z - dz * te2y                       # d x e2  [nb, C]
-            pvy = dz * te2x - dx * te2z
-            pvz = dx * te2y - dy * te2x
-            det = te1x * pvx + te1y * pvy + te1z * pvz
-            tvx = ox - tv0x
-            tvy = oy - tv0y
-            tvz = oz - tv0z
-            qvx = tvy * te1z - tvz * te1y                     # tvec x e1
-            qvy = tvz * te1x - tvx * te1z
-            qvz = tvx * te1y - tvy * te1x
-            inv_det = 1.0 / jnp.where(jnp.abs(det) < EPS, 1.0, det)
-            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-            v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-            t = (te2x * qvx + te2y * qvy + te2z * qvz) * inv_det
+            t, u, v, det = _mt_terms(
+                ox, oy, oz, dx, dy, dz,
+                tv[0:1], tv[1:2], tv[2:3],                    # v0   [1, C]
+                tv[3:4], tv[4:5], tv[5:6],                    # e1
+                tv[6:7], tv[7:8], tv[8:9])                    # e2
         else:
             g = g_ref[cid]                                    # [NF, 4C]
             dn = (((1,), (0,)), ((), ()))
@@ -237,7 +270,8 @@ def _isect_kernel(n_chunks: int, idx_mask: int, any_hit: bool, vpu: bool,
                 jnp.where(better, v, v2d))
 
     def chunk_body(cid, carry):
-        active = ((mask >> cid) & 1) == 1
+        active = ((mask >> cid.astype(jnp.uint32)) & jnp.uint32(1)) \
+            == jnp.uint32(1)
         return jax.lax.cond(active,
                             lambda cr: chunk_sweep(cid, cr),
                             lambda cr: cr, carry)
@@ -289,7 +323,7 @@ def _intersect_impl(ox, oy, oz, dx, dy, dz, tmin, tmax,
     idx_bits = max(1, (T - 1)).bit_length()
     idx_mask = (1 << idx_bits) - 1
 
-    vpu = _os.environ.get("IGNIS_TPU_ISECT", "mxu") == "vpu"
+    vpu = _os.environ.get("IGNIS_TPU_ISECT", _ISECT_DEFAULT) == "vpu"
     if vpu:
         g = build_tri_soa(v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z)
     else:

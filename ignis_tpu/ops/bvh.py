@@ -35,6 +35,15 @@ class BVHArrays(NamedTuple):
     child: jnp.ndarray
 
 
+class SceneAccel(NamedTuple):
+    """Both traversal structures over ONE chunk-padded soup order:
+    `tri` = tri-leaf BVH8 for this module's XLA lockstep walk (CPU/
+    fallback), `chunk` = chunked-leaf BVH for the Pallas TPU kernel
+    (ops/pallas_bvh.py)."""
+    tri: BVHArrays
+    chunk: BVHArrays
+
+
 def intersect_bvh(rays: Rays, soup: TriSoup, bvh: BVHArrays,
                   any_hit: bool = False,
                   shadow_visible=None):

@@ -1039,44 +1039,72 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
     n_tris = len(tri_v0)
 
     def _reorder_soup(perm):
-        # Reorders every per-triangle column and remaps area-light tri ids.
+        # Reorders every per-triangle column and remaps area-light tri
+        # ids. `perm` maps new position -> original index; -1 entries
+        # insert degenerate padding rows (chunked-leaf BVH layout,
+        # bvh/builder.py chunkify_bvh8).
         nonlocal tri_v0, tri_e1, tri_e2, tri_ent, tri_area, tri_shadow, \
             area_tris
-        inv_perm = np.empty_like(perm)
-        inv_perm[perm] = np.arange(len(perm), dtype=perm.dtype)
-        tri_v0 = list(np.asarray(tri_v0, np.float32).reshape(-1, 3)[perm])
-        tri_e1 = list(np.asarray(tri_e1, np.float32).reshape(-1, 3)[perm])
-        tri_e2 = list(np.asarray(tri_e2, np.float32).reshape(-1, 3)[perm])
+        pad_mask = perm < 0
+        pi = np.clip(perm, 0, max(len(tri_v0) - 1, 0))
+        inv_perm = np.empty(len(tri_v0), dtype=perm.dtype)
+        inv_perm[pi[~pad_mask]] = np.nonzero(~pad_mask)[0]
+
+        def take3(lst):
+            a = np.asarray(lst, np.float32).reshape(-1, 3)[pi]
+            a[pad_mask] = 0.0
+            return a
+
+        tri_v0 = list(take3(tri_v0))
+        tri_e1 = list(take3(tri_e1))
+        tri_e2 = list(take3(tri_e2))
         for k in range(3):
-            arr = np.asarray(tri_n[k], np.float32).reshape(-1, 3)[perm]
-            tri_n[k][:] = list(arr)
-            arr2 = np.asarray(tri_uv[k], np.float32).reshape(-1, 2)[perm]
+            tri_n[k][:] = list(take3(tri_n[k]))
+            arr2 = np.asarray(tri_uv[k], np.float32).reshape(-1, 2)[pi]
+            arr2[pad_mask] = 0.0
             tri_uv[k][:] = list(arr2)
-        tri_ent = list(np.asarray(tri_ent, np.int32)[perm])
-        tri_area = list(np.asarray(tri_area, np.float32)[perm])
-        tri_shadow = list(np.asarray(tri_shadow, bool)[perm])
+        ent = np.asarray(tri_ent, np.int32)[pi]
+        ent[pad_mask] = -1
+        tri_ent = list(ent)
+        ar = np.asarray(tri_area, np.float32)[pi]
+        ar[pad_mask] = 0.0
+        tri_area = list(ar)
+        sh = np.asarray(tri_shadow, bool)[pi]
+        sh[pad_mask] = False
+        tri_shadow = list(sh)
         area_tris = [int(inv_perm[i]) for i in area_tris]
 
-    # BVH for large scenes (reorders the soup so leaves are contiguous;
-    # area-light tri indices are remapped via inv permutation)
+    # BVH for non-tiny scenes: one binned-SAH tri-leaf BVH8 (C++ builder
+    # when available), from which two traversal structures are derived on
+    # ONE padded soup order: the chunked-leaf BVH for the Pallas TPU
+    # kernel (ops/pallas_bvh.py) and the remapped tri-leaf BVH8 for the
+    # XLA lockstep fallback (ops/bvh.py). Below the threshold the dense
+    # chunk-culled sweep (ops/pallas_isect.py) is already a 1-level BVH.
     bvh_arrays = None
-    BVH_THRESHOLD = 4096
+    BVH_THRESHOLD = 2048
     if n_tris >= BVH_THRESHOLD:
-        from ..bvh.builder import build_bvh8
+        from ..bvh.builder import build_bvh8, chunkify_bvh8, \
+            remap_bvh8_leaves
         from ..native import build_bvh8_native
         _v0 = np.asarray(tri_v0, np.float32).reshape(-1, 3)
         _e1 = np.asarray(tri_e1, np.float32).reshape(-1, 3)
         _e2 = np.asarray(tri_e2, np.float32).reshape(-1, 3)
-        # C++ builder when the toolchain is available (native/), numpy
-        # fallback otherwise — identical output layout
         bvh_np = build_bvh8_native(_v0, _e1, _e2)
         if bvh_np is None:
             bvh_np = build_bvh8(_v0, _e1, _e2)
-        _reorder_soup(bvh_np.prim_order)
-        from ..ops.bvh import BVHArrays
-        bvh_arrays = BVHArrays(*[jnp.asarray(a) for a in (
-            bvh_np.cmin_x, bvh_np.cmin_y, bvh_np.cmin_z,
-            bvh_np.cmax_x, bvh_np.cmax_y, bvh_np.cmax_z, bvh_np.child)])
+        cb = chunkify_bvh8(bvh_np)
+        tri_bvh = remap_bvh8_leaves(bvh_np, cb.old2new)
+        _reorder_soup(cb.prim_order)
+        n_tris = len(tri_v0)
+        from ..ops.bvh import BVHArrays, SceneAccel
+        bvh_arrays = SceneAccel(
+            tri=BVHArrays(*[jnp.asarray(a) for a in (
+                tri_bvh.cmin_x, tri_bvh.cmin_y, tri_bvh.cmin_z,
+                tri_bvh.cmax_x, tri_bvh.cmax_y, tri_bvh.cmax_z,
+                tri_bvh.child)]),
+            chunk=BVHArrays(*[jnp.asarray(a) for a in (
+                cb.cmin_x, cb.cmin_y, cb.cmin_z,
+                cb.cmax_x, cb.cmax_y, cb.cmax_z, cb.child)]))
     elif n_tris > PALLAS_CHUNK:
         # Dense-sweep path: cluster the soup so every 128-tri Pallas chunk
         # is spatially tight — the per-block chunk-AABB culling in

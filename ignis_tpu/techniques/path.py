@@ -46,10 +46,25 @@ class Surface(NamedTuple):
     ent: jnp.ndarray
 
 
+def _use_pallas_bvh(scene: SceneData) -> bool:
+    """Static (trace-time) gate for the Pallas traversal kernel: TPU
+    backend + full-array VMEM residency caps (bigger scenes take the XLA
+    lockstep walk until the HBM-DMA variant lands)."""
+    from ..ops.intersect import _pallas_available
+    from ..ops.pallas_bvh import MAX_NODES, MAX_TRIS
+    return (_pallas_available()
+            and scene.tris.v0.x.shape[0] <= MAX_TRIS
+            and scene.bvh.chunk.child.shape[0] <= MAX_NODES)
+
+
 def trace_scene(scene: SceneData, rays: Rays) -> Hit:
     if scene.bvh is not None:
-        from ..ops.bvh import intersect_bvh
-        h = intersect_bvh(rays, scene.tris, scene.bvh)
+        if _use_pallas_bvh(scene):
+            from ..ops.pallas_bvh import intersect_bvh_pallas
+            h = intersect_bvh_pallas(rays, scene.tris, scene.bvh.chunk)
+        else:
+            from ..ops.bvh import intersect_bvh
+            h = intersect_bvh(rays, scene.tris, scene.bvh.tri)
     else:
         h = isect.intersect_tris_dense(rays, scene.tris)
     hs = isect.intersect_spheres_dense(rays, scene.spheres,
@@ -59,9 +74,16 @@ def trace_scene(scene: SceneData, rays: Rays) -> Hit:
 
 def occluded_scene(scene: SceneData, rays: Rays) -> jnp.ndarray:
     if scene.bvh is not None:
-        from ..ops.bvh import intersect_bvh
-        occ = intersect_bvh(rays, scene.tris, scene.bvh, any_hit=True,
-                            shadow_visible=scene.tri_attr.shadow_visible)
+        if _use_pallas_bvh(scene):
+            from ..ops.pallas_bvh import intersect_bvh_pallas
+            occ = intersect_bvh_pallas(
+                rays, scene.tris, scene.bvh.chunk,
+                vis=scene.tri_attr.shadow_visible, any_hit=True)
+        else:
+            from ..ops.bvh import intersect_bvh
+            occ = intersect_bvh(rays, scene.tris, scene.bvh.tri,
+                                any_hit=True,
+                                shadow_visible=scene.tri_attr.shadow_visible)
     else:
         occ = isect.occluded_tris_dense(rays, scene.tris,
                                         scene.tri_attr.shadow_visible)

@@ -254,3 +254,52 @@ def test_pallas_chunk32_cull_exact():
     got_hits = np.asarray(prim)
     assert (ref_hits >= 3968).sum() > 100  # the scenario exercises chunk 31
     assert (got_hits == ref_hits).mean() > 0.999
+
+
+def test_scene_accel_chunk_vs_tri_paths():
+    """Built-scene integration: the Pallas chunked-leaf traversal
+    (interpret) and the XLA tri-leaf walk agree on the same SceneAccel."""
+    import json
+    import numpy as np
+    import jax.numpy as jnp
+    import ignis_tpu
+    from ignis_tpu.core.vec import Vec3
+    from ignis_tpu.ops.bvh import intersect_bvh
+    from ignis_tpu.ops.pallas_bvh import intersect_bvh_pallas
+    from ignis_tpu.ops.intersect import Rays
+
+    scene = {
+        "technique": {"type": "path"},
+        "camera": {"type": "perspective", "fov": 60,
+                   "transform": [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, -4,
+                                 0, 0, 0, 1]},
+        "film": {"size": [32, 32]},
+        "bsdfs": [{"type": "diffuse", "name": "w"}],
+        "shapes": [{"type": "icosphere", "name": "s", "radius": 1.2,
+                    "subdivisions": 5}],
+        "entities": [{"name": "s", "shape": "s", "bsdf": "w"}],
+        "lights": [{"type": "env", "name": "e", "radiance": 1.0}],
+    }
+    rt = ignis_tpu.loadFromString(json.dumps(scene))
+    sc = rt.scene
+    assert sc.bvh is not None and sc.tris.v0.x.shape[0] > 2048
+    rng = np.random.default_rng(2)
+    N = 500
+    o = rng.uniform(-3, 3, (N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = Rays(Vec3(*[jnp.asarray(o[:, i]) for i in range(3)]),
+                Vec3(*[jnp.asarray(d[:, i]) for i in range(3)]),
+                jnp.zeros(N), jnp.full(N, 1e30))
+    h_tri = intersect_bvh(rays, sc.tris, sc.bvh.tri)
+    h_chunk = intersect_bvh_pallas(rays, sc.tris, sc.bvh.chunk,
+                                   interpret=True)
+    pt, pc = np.asarray(h_tri.prim), np.asarray(h_chunk.prim)
+    assert ((pt >= 0) == (pc >= 0)).mean() > 0.995
+    m = (pt >= 0) & (pc >= 0)
+    assert np.allclose(np.asarray(h_chunk.t)[m], np.asarray(h_tri.t)[m],
+                       rtol=1e-4)
+    occ_tri = intersect_bvh(rays, sc.tris, sc.bvh.tri, any_hit=True)
+    occ_chunk = intersect_bvh_pallas(rays, sc.tris, sc.bvh.chunk,
+                                     any_hit=True, interpret=True)
+    assert (np.asarray(occ_tri) == np.asarray(occ_chunk)).mean() > 0.995

@@ -56,6 +56,36 @@ def render_iteration(scene: SceneData, settings: RenderSettings,
     return _compiled_iteration(settings)(scene, iteration, frame)
 
 
+@functools.lru_cache(maxsize=64)
+def _compiled_trace(settings: RenderSettings, n_pad: int):
+    """Jitted ray-list trace (reference Runtime::trace, Runtime.cpp:389-423)
+    compiled per (settings, padded-ray-count bucket) — igtrace-mode runs at
+    framebuffer-render throughput instead of dispatching eagerly."""
+    def fn(scene, org, dirs, tmin, tmax, spp, iteration, frame):
+        from ..core.vec import Vec3
+        from ..models.texture import make_texture_evaluator
+        technique = dispatch_technique(settings.technique)
+        eval_texture = make_texture_evaluator(settings.texture_descs,
+                                              scene.textures)
+        r = Rays(Vec3(org[:, 0], org[:, 1], org[:, 2]),
+                 Vec3(dirs[:, 0], dirs[:, 1], dirs[:, 2]), tmin, tmax)
+        idx = jnp.arange(n_pad, dtype=jnp.uint32)
+
+        def one_sample(s, acc):
+            state = rnglib.seed(s.astype(jnp.uint32), iteration,
+                                frame, idx, jnp.zeros(n_pad, jnp.uint32),
+                                jnp.uint32(settings.seed))
+            col = technique(scene, settings, r, state,
+                            eval_texture=eval_texture)
+            return acc + jnp.stack([col.r, col.g, col.b], axis=-1)
+
+        acc = jax.lax.fori_loop(
+            jnp.uint32(0), spp, one_sample,
+            jnp.zeros((n_pad, 3), jnp.float32))
+        return acc / spp.astype(jnp.float32)
+    return jax.jit(fn)
+
+
 @functools.lru_cache(maxsize=16)
 def _compiled_aept_learn(settings: RenderSettings):
     def fn(scene, iteration, frame):
@@ -435,40 +465,37 @@ class Runtime:
                 "Depth": im(depth)[..., 0]}
 
     def trace(self, rays: np.ndarray, spp: int = 1) -> np.ndarray:
-        """Ray-list mode (reference Runtime::trace / igtrace): rays is
-        [n, 8] = (org xyz, dir xyz, tmin, tmax) or [n, 6]; returns [n, 3]
-        radiance averaged over spp samples."""
-        from ..core import rng as rnglib
-        from ..core.vec import Vec3
-        from ..ops.intersect import Rays
-        from ..techniques import dispatch_technique
-        from ..models.texture import make_texture_evaluator
+        """Ray-list mode (reference Runtime::trace / igtrace,
+        Runtime.cpp:389-423): rays is [n, 8] = (org xyz, dir xyz, tmin,
+        tmax) or [n, 6]; returns [n, 3] radiance averaged over spp samples.
 
+        Jit-compiled; executables are cached per power-of-two ray-count
+        bucket (rays padded with dead tmax<tmin lanes), so repeated trace
+        calls with varying list sizes reuse a handful of programs."""
         rays = np.asarray(rays, np.float32)
         n = rays.shape[0]
         tmin = rays[:, 6] if rays.shape[1] > 6 else np.zeros(n, np.float32)
         tmax = rays[:, 7] if rays.shape[1] > 7 else np.full(n, 3.0e38, np.float32)
-        r = Rays(Vec3(jnp.asarray(rays[:, 0]), jnp.asarray(rays[:, 1]),
-                      jnp.asarray(rays[:, 2])),
-                 Vec3(jnp.asarray(rays[:, 3]), jnp.asarray(rays[:, 4]),
-                      jnp.asarray(rays[:, 5])),
-                 jnp.asarray(tmin), jnp.asarray(np.where(tmax <= 0, 3.0e38, tmax)))
-        technique = dispatch_technique(self.settings.technique)
-        eval_texture = make_texture_evaluator(self.settings.texture_descs,
-                                              self.scene.textures)
-        acc = np.zeros((n, 3), np.float32)
-        idx = jnp.arange(n, dtype=jnp.uint32)
-        for s in range(spp):
-            state = rnglib.seed(jnp.uint32(s), jnp.uint32(self._iteration),
-                                jnp.uint32(self._frame), idx,
-                                jnp.zeros(n, jnp.uint32),
-                                jnp.uint32(self.settings.seed))
-            col = technique(self.scene, self.settings, r, state,
-                            eval_texture=eval_texture)
-            acc += np.stack([np.asarray(col.r), np.asarray(col.g),
-                             np.asarray(col.b)], axis=-1)
+        tmax = np.where(tmax <= 0, 3.0e38, tmax).astype(np.float32)
+        # pad to a power-of-two bucket (>=1024 = one Pallas lane block)
+        n_pad = 1024
+        while n_pad < n:
+            n_pad *= 2
+        org = np.zeros((n_pad, 3), np.float32)
+        dirs = np.zeros((n_pad, 3), np.float32)
+        dirs[:, 2] = 1.0
+        tmn = np.zeros(n_pad, np.float32)
+        tmx = np.full(n_pad, -1.0, np.float32)    # dead lanes: tmax < tmin
+        org[:n] = rays[:, 0:3]
+        dirs[:n] = rays[:, 3:6]
+        tmn[:n] = tmin
+        tmx[:n] = tmax
+        out = _compiled_trace(self.settings, n_pad)(
+            self.scene, jnp.asarray(org), jnp.asarray(dirs),
+            jnp.asarray(tmn), jnp.asarray(tmx), jnp.uint32(spp),
+            jnp.uint32(self._iteration), jnp.uint32(self._frame))
         self._iteration += 1
-        return acc / spp
+        return np.asarray(out)[:n]
 
     def framebuffer(self, normalized: bool = False) -> np.ndarray:
         """Accumulated film [h, w, 3]; divide by iteration_count when

@@ -136,8 +136,17 @@ class TextureRegistry:
         if s in self._pexpr_cache:
             return self._pexpr_cache[s]
         try:
-            from ..models.texture import TexKind, make_procedural
+            from ..models.texture import TexKind, make_procedural, \
+                make_shade_ctx
+            from ..core.vec import Vec2
             fn = self._compiler().compile_color(s)
+            # dry-run eval on a dummy lane so unknown variables/arity
+            # errors surface at load time (ErrorBSDF-style degradation,
+            # reference LoaderBSDF.cpp:36-49) instead of at trace time
+            import jax.numpy as _j
+            z = _j.zeros((1,), _j.float32)
+            fn(make_shade_ctx(Vec2(z, z),
+                              textures=lambda tid, uv: (uv[0], uv[1], uv[0])))
             desc, data = make_procedural(TexKind.PEXPR, (0, 0, 0), (1, 1, 1))
             desc = desc._replace(kind=int(TexKind.PEXPR), fn=fn)
             tid = self.add(None, desc, data)

@@ -539,7 +539,14 @@ def _mk_noise(which, color_out):
 def _call_builtin(name, args, ctx):
     fns = _FUNCS1
     if name in fns:
-        return fns[name](args, ctx)
+        try:
+            return fns[name](args, ctx)
+        except PExprError:
+            raise
+        except (IndexError, TypeError, ValueError) as e:
+            # arity/shape misuse inside a builtin is a user expression
+            # error, not an internal failure
+            raise PExprError(f"PExpr: bad arguments to '{name}': {e}")
     raise PExprError(f"PExpr: unknown function '{name}'")
 
 

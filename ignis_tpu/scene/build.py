@@ -1346,6 +1346,25 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
     infinite_rows = tuple(int(i) for i, r in enumerate(l_rows)
                           if r["infinite"] and n_lights > 0)
 
+    # dynamic registry: numeric/vector scene parameters become traced
+    # pytree leaves (reference ParameterSet / registry.art) so setParameter
+    # re-renders without rebuild or recompile
+    registry = {}
+    for pname, p in (scene.parameters or {}).items():
+        if isinstance(p, dict):
+            ptype, val = p.get("type", "number"), p.get("value", 0)
+        else:
+            ptype, val = "number", p
+        try:
+            if ptype in ("number", "num", "int") and isinstance(
+                    val, (int, float)):
+                registry[pname] = jnp.float32(val)
+            elif ptype in ("vector", "color") and hasattr(val, "__len__"):
+                registry[pname] = jnp.asarray(
+                    [float(x) for x in val], jnp.float32)
+        except Exception:
+            pass  # strings and malformed values stay baked-only
+
     data = SceneData(tris=tris, tri_attr=attr, spheres=spheres,
                      sph_attr=sph_attr, entities=entities, materials=materials,
                      lights=lights, envmap=envmap, camera=camera, media=media,
@@ -1353,7 +1372,8 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
                      bvh=bvh_arrays,
                      scene_radius=jnp.float32(radius),
                      scene_center=Vec3(*[jnp.float32(v) for v in center]),
-                     measured=tuple(texreg.measured))
+                     measured=tuple(texreg.measured),
+                     registry=registry)
 
     settings = RenderSettings(
         width=width, height=height, technique=tech_type,

@@ -239,6 +239,10 @@ class ShadeCtx(NamedTuple):
     pixel: tuple         # (Ix, Iy)
     frontside: jnp.ndarray
     textures: Optional[Callable] = None   # (tex_id:int, (u,v)) -> (r,g,b)
+    # dynamic parameter registry (SceneData.registry): name -> traced
+    # array (shape () num / (3,) vec / (4,) color); when present, named
+    # parameters are read live instead of the baked load-time constant
+    registry: Optional[dict] = None
 
 
 def _broadcast(v, like):
@@ -351,6 +355,16 @@ class Compiler:
             return ("bool", ctx.frontside)
         if name in self.parameters:
             t, v = self.parameters[name]
+            # live registry value wins over the baked load-time constant
+            # (reference registry.art: kernels read parameters at runtime)
+            reg = ctx.registry.get(name) if ctx.registry else None
+            if reg is not None:
+                arr = jnp.asarray(reg, jnp.float32)
+                if arr.ndim == 0:
+                    return ("num", jnp.broadcast_to(arr, shp))
+                vals = tuple(jnp.broadcast_to(arr[i], shp)
+                             for i in range(arr.shape[0]))
+                return (f"vec{arr.shape[0]}", vals)
             if t == "num":
                 return ("num", jnp.broadcast_to(jnp.float32(v), shp))
             vals = tuple(jnp.broadcast_to(jnp.float32(x), shp) for x in v)

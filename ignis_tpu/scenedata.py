@@ -14,6 +14,7 @@ import dataclasses
 from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as _np
 
 from .core.vec import Vec2, Vec3, Color
 from .ops.intersect import SphereSoup, TriSoup
@@ -79,9 +80,9 @@ class Materials(NamedTuple):
     p1_tex: jnp.ndarray
     # normal/bump mapping wrapper (reference bsdf/map.art): 0 = none,
     # 1 = normalmap (tangent-space color), 2 = bumpmap (height derivative)
-    bump_kind: jnp.ndarray = jnp.zeros((0,), jnp.int32)
-    bump_tex: jnp.ndarray = jnp.zeros((0,), jnp.int32)
-    bump_strength: jnp.ndarray = jnp.zeros((0,), jnp.float32)
+    bump_kind: jnp.ndarray = _np.zeros((0,), _np.int32)
+    bump_tex: jnp.ndarray = _np.zeros((0,), _np.int32)
+    bump_strength: jnp.ndarray = _np.zeros((0,), _np.float32)
 
 
 class Lights(NamedTuple):
@@ -114,18 +115,18 @@ class Lights(NamedTuple):
     area_tris: jnp.ndarray  # [AT] i32 global tri index
     area_cdf: jnp.ndarray   # [AT] f32 inclusive CDF within each light segment
     # flux-weighted light-selection CDF over all lights ([0] if unused)
-    select_cdf: jnp.ndarray = jnp.zeros((0,), jnp.float32)
+    select_cdf: jnp.ndarray = _np.zeros((0,), _np.float32)
     # light hierarchy (light_hierarchy.art / LightHierarchy.cpp): binary
     # tree over finite lights; child >= 0 -> leaf light row, < 0 -> inner
     # with left = -child-1 (right = left+1). hier_code backtracks the pdf.
-    hier_pos: "Vec3" = Vec3(jnp.zeros((0,)), jnp.zeros((0,)),
-                            jnp.zeros((0,)))
-    hier_dir: "Vec3" = Vec3(jnp.zeros((0,)), jnp.zeros((0,)),
-                            jnp.zeros((0,)))
-    hier_flux: jnp.ndarray = jnp.zeros((0,), jnp.float32)
-    hier_has_dir: jnp.ndarray = jnp.zeros((0,), bool)
-    hier_child: jnp.ndarray = jnp.zeros((0,), jnp.int32)
-    hier_code: jnp.ndarray = jnp.zeros((0,), jnp.int32)
+    hier_pos: "Vec3" = Vec3(_np.zeros((0,), _np.float32), _np.zeros((0,), _np.float32),
+                            _np.zeros((0,), _np.float32))
+    hier_dir: "Vec3" = Vec3(_np.zeros((0,), _np.float32), _np.zeros((0,), _np.float32),
+                            _np.zeros((0,), _np.float32))
+    hier_flux: jnp.ndarray = _np.zeros((0,), _np.float32)
+    hier_has_dir: jnp.ndarray = _np.zeros((0,), bool)
+    hier_child: jnp.ndarray = _np.zeros((0,), _np.int32)
+    hier_code: jnp.ndarray = _np.zeros((0,), _np.int32)
 
 
 class EnvMap(NamedTuple):
@@ -143,8 +144,8 @@ class CameraData(NamedTuple):
     scale: Vec2   # tan(fov/2) horizontal/vertical
     tmin: jnp.ndarray
     tmax: jnp.ndarray
-    aperture: jnp.ndarray = jnp.float32(0.0)
-    focal: jnp.ndarray = jnp.float32(1.0)
+    aperture: jnp.ndarray = 0.0
+    focal: jnp.ndarray = 1.0
 
 
 class SceneData(NamedTuple):
@@ -160,9 +161,17 @@ class SceneData(NamedTuple):
     media: "Media"
     textures: Optional[tuple] = None  # tuple of texture pytrees (models/texture.py)
     bvh: Optional[tuple] = None       # ops/bvh.py BVHArrays for big scenes
-    scene_radius: jnp.ndarray = jnp.float32(1.0)
-    scene_center: Vec3 = Vec3(jnp.float32(0), jnp.float32(0), jnp.float32(0))
+    # python-float defaults: creating jnp arrays at class definition would
+    # initialize the XLA backend at import time, which breaks
+    # jax.distributed.initialize (must run before any backend touch)
+    scene_radius: jnp.ndarray = 1.0
+    scene_center: Vec3 = Vec3(0.0, 0.0, 0.0)
     measured: tuple = ()  # measured-BSDF tables (models/klems.py KlemsData)
+    # dynamic parameter registry (reference driver/registry.art:5-30 /
+    # ParameterSet): name -> traced leaf (shape () num, (3,) vector,
+    # (4,) color). PExpr closures read these at trace time, so
+    # setParameter updates re-render WITHOUT rebuild or recompile.
+    registry: dict = {}
 
 
 class Media(NamedTuple):

@@ -185,7 +185,8 @@ def make_surface_ctx(scene: SceneData, rays: Rays, surf: Surface,
         frontside=surf.is_entering,
         scene_center=(scene.scene_center.x, scene.scene_center.y,
                       scene.scene_center.z),
-        scene_radius=scene.scene_radius)
+        scene_radius=scene.scene_radius,
+        registry=scene.registry)
 
 
 def gather_material(scene: SceneData, surf: Surface, eval_texture=None,

@@ -1,0 +1,80 @@
+"""Auxiliary subsystems: Logger (listeners, levels), RenderPass (user
+compute pass), ParameterDescSet (UI parameter descriptors)."""
+import json
+
+import numpy as np
+
+import ignis_tpu
+from ignis_tpu.utils.logger import (ConsoleLogListener, FileLogListener,
+                                    Logger, LogLevel)
+
+SCENE = {
+    "technique": {"type": "path", "max_depth": 2},
+    "camera": {"type": "perspective", "fov": 60,
+               "transform": [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, -2]},
+    "film": {"size": [8, 8]},
+    "parameters": {
+        "strength": {"type": "number", "value": 0.5, "min": 0, "max": 1,
+                     "step": 0.1, "description": "demo knob"},
+        "tintv": {"type": "vector", "value": [1, 0.5, 0.25]},
+        "plain": 2.0,
+    },
+    "bsdfs": [{"type": "diffuse", "name": "g", "reflectance": [0.5, 0.5, 0.5]}],
+    "shapes": [{"type": "rectangle", "name": "B", "width": 4, "height": 4}],
+    "entities": [{"name": "B", "shape": "B", "bsdf": "g"}],
+    "lights": [{"type": "point", "name": "P", "position": [0, 1, -1.5],
+                "intensity": [4, 4, 4]}],
+}
+
+
+def test_logger_levels_and_listeners(tmp_path):
+    log = Logger()
+    seen = []
+    log.add_listener(lambda lvl, msg: seen.append((int(lvl), msg)))
+    log.set_verbosity(LogLevel.WARNING)
+    log.debug("hidden")
+    log.info("hidden too")
+    log.warning("shown")
+    log.error("also shown")
+    assert [m for _, m in seen] == ["shown", "also shown"]
+
+    f = FileLogListener(str(tmp_path / "log.txt"))
+    log.add_listener(f)
+    log.error("to file")
+    f.close()
+    text = (tmp_path / "log.txt").read_text()
+    assert "to file" in text and "[Error]" in text
+
+    log.quiet = True
+    log.error("silenced")
+    assert len(seen) == 3
+
+
+def test_render_pass_runs_user_kernel():
+    rt = ignis_tpu.loadFromString(json.dumps(SCENE), spi=2)
+    rt.step()
+
+    def lum_pass(film, aovs, gain=1.0):
+        import jax.numpy as jnp
+        l = (0.2126 * film[..., 0] + 0.7152 * film[..., 1]
+             + 0.0722 * film[..., 2])
+        return l * gain
+
+    p = rt.createPass(lum_pass)
+    out = np.asarray(p.run(gain=2.0))
+    assert out.shape == (8, 8)
+    film = rt.framebuffer(normalized=True)
+    expect = 2.0 * (0.2126 * film[..., 0] + 0.7152 * film[..., 1]
+                    + 0.0722 * film[..., 2])
+    np.testing.assert_allclose(out, expect, rtol=1e-5)
+
+
+def test_parameter_desc_set():
+    rt = ignis_tpu.loadFromString(json.dumps(SCENE), spi=1)
+    descs = rt.parameterDescs()
+    assert descs["strength"]["min"] == 0
+    assert descs["strength"]["max"] == 1
+    assert descs["strength"]["step"] == 0.1
+    assert descs["strength"]["description"] == "demo knob"
+    assert descs["tintv"]["type"] == "vector"
+    assert descs["plain"] == {"type": "number", "value": 2.0}

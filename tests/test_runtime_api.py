@@ -165,3 +165,42 @@ def test_trace_ray_list_matches_render():
     # second call with a different count reuses another bucket fine
     out2 = rt.trace(rays[:5], spp=4)
     assert out2.shape == (5, 3)
+
+
+def test_set_parameter_no_recompile():
+    """Registry parameters (reference driver/registry.art) update a traced
+    pytree leaf: the re-render must reuse the SAME compiled executable."""
+    from ignis_tpu.render.session import _compiled_iteration
+    rt = ignis_tpu.loadFromString(json.dumps(SCENE), spi=4)
+    rt.step()
+    fn = _compiled_iteration(rt.settings)
+    n0 = fn._cache_size()
+    a = rt.framebuffer(normalized=True).mean()
+    rt.setParameter("tint", 0.8)
+    rt.reset()
+    rt.step()
+    b = rt.framebuffer(normalized=True).mean()
+    assert fn._cache_size() == n0, "parameter change must not recompile"
+    assert abs(b / a - 4.0) < 0.02, (a, b)
+
+
+def test_interactive_orbit_loop_no_recompile():
+    """igview-style orbit: camera orientation + registry updates at
+    interactive cadence without triggering recompiles (reference
+    frontend/view/main.cpp:143-185 loop)."""
+    from ignis_tpu.render.session import _compiled_iteration
+    rt = ignis_tpu.loadFromString(json.dumps(SCENE), spi=1)
+    rt.step()
+    fn = _compiled_iteration(rt.settings)
+    n0 = fn._cache_size()
+    means = []
+    for i in range(5):
+        ang = i * 0.3
+        eye = [2 * np.sin(ang), 0.0, -2 * np.cos(ang)]
+        d = [-eye[0], 0.0, -eye[2]]
+        rt.setCameraOrientation(eye, d, [0, 1, 0])
+        rt.reset()
+        rt.step()
+        means.append(rt.framebuffer(normalized=True).mean())
+    assert fn._cache_size() == n0
+    assert len(set(np.round(means, 6))) > 1  # the view actually moved

@@ -172,6 +172,10 @@ class SceneData(NamedTuple):
     # (4,) color). PExpr closures read these at trace time, so
     # setParameter updates re-render WITHOUT rebuild or recompile.
     registry: dict = {}
+    # two-level acceleration (reference EntityLeaf TLAS, bvh.art:40-61):
+    # ops/instanced.py InstancedGeo — one shared local mesh + per-instance
+    # world->local transforms. None when every entity is flattened.
+    instances: Optional[tuple] = None
 
 
 class Media(NamedTuple):

@@ -69,7 +69,13 @@ def trace_scene(scene: SceneData, rays: Rays) -> Hit:
         h = isect.intersect_tris_dense(rays, scene.tris)
     hs = isect.intersect_spheres_dense(rays, scene.spheres,
                                        scene.tris.v0.x.shape[0])
-    return isect.merge_hits(h, hs)
+    h = isect.merge_hits(h, hs)
+    if scene.instances is not None:
+        from ..ops.instanced import intersect_instanced
+        base = scene.tris.v0.x.shape[0] + scene.spheres.radius.shape[0]
+        hi = intersect_instanced(rays, scene.instances, base)
+        h = isect.merge_hits(h, hi)
+    return h
 
 
 def occluded_scene(scene: SceneData, rays: Rays) -> jnp.ndarray:
@@ -92,6 +98,10 @@ def occluded_scene(scene: SceneData, rays: Rays) -> jnp.ndarray:
         h = isect.intersect_spheres_dense(rays, scene.spheres, 0)
         svis = scene.sph_attr.shadow_visible[jnp.clip(h.prim, 0, None)]
         occ = occ | ((h.prim >= 0) & svis)
+    if scene.instances is not None:
+        from ..ops.instanced import intersect_instanced
+        occ = occ | intersect_instanced(rays, scene.instances, 0,
+                                        any_hit=True)
     return occ
 
 
@@ -158,6 +168,29 @@ def compute_surface(scene: SceneData, rays: Rays, hit: Hit) -> Surface:
         ns = vselect(is_tri, ns, sn)
         uv = Vec2(jnp.where(is_tri, uv.x, suv.x), jnp.where(is_tri, uv.y, suv.y))
         ent = jnp.where(is_tri, ent, scene.sph_attr.ent[sp])
+
+    # Instanced region: prim >= n_tri + n_sph (two-level accel,
+    # ops/instanced.py); attributes come from the shared local mesh with
+    # the instance's normal matrix applied.
+    if scene.instances is not None:
+        from ..ops.instanced import instanced_surface
+        base = n_tri + n_sph
+        is_inst = prim >= base
+        ip = jnp.clip(prim - base, 0, None)
+        (ifn, in0, in1, in2, iuv0, iuv1, iuv2, ient) = instanced_surface(
+            scene.instances, ip)
+        ifn = normalize(ifn)
+        ins = normalize(Vec3(in0.x * w + in1.x * u + in2.x * v,
+                             in0.y * w + in1.y * u + in2.y * v,
+                             in0.z * w + in1.z * u + in2.z * v))
+        iuv = Vec2(iuv0.x * w + iuv1.x * u + iuv2.x * v,
+                   iuv0.y * w + iuv1.y * u + iuv2.y * v)
+        keep = ~is_inst
+        face_n = vselect(keep, face_n, ifn)
+        ns = vselect(keep, ns, ins)
+        uv = Vec2(jnp.where(keep, uv.x, iuv.x),
+                  jnp.where(keep, uv.y, iuv.y))
+        ent = jnp.where(keep, ent, ient)
 
     is_entering = dot(rays.dir, face_n) <= 0.0
     flip = jnp.where(is_entering, 1.0, -1.0)

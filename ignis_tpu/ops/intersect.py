@@ -86,6 +86,20 @@ def _pallas_available() -> bool:
         return False
 
 
+def _pad_soup(soup: TriSoup) -> TriSoup:
+    """Pad the soup to a TRI_CHUNK multiple with degenerate (zero-edge)
+    triangles so the chunked scan covers every real triangle. Shapes are
+    static, so this is free under jit when already aligned."""
+    n_tri = soup.v0.x.shape[0]
+    pad = (-n_tri) % TRI_CHUNK
+    if pad == 0:
+        return soup
+    z = jnp.zeros((pad,), soup.v0.x.dtype)
+    pv = lambda v: Vec3(jnp.concatenate([v.x, z]), jnp.concatenate([v.y, z]),
+                        jnp.concatenate([v.z, z]))
+    return TriSoup(pv(soup.v0), pv(soup.e1), pv(soup.e2))
+
+
 def intersect_tris_dense(rays: Rays, soup: TriSoup, any_hit: bool = False) -> Hit:
     """Closest-hit (or any-hit) over the whole padded tri soup.
 
@@ -105,7 +119,8 @@ def intersect_tris_dense(rays: Rays, soup: TriSoup, any_hit: bool = False) -> Hi
             soup.e1.x, soup.e1.y, soup.e1.z,
             soup.e2.x, soup.e2.y, soup.e2.z, vis)
         return Hit(t=t, prim=prim, u=u, v=v)
-    n_chunks = n_tri // TRI_CHUNK
+    soup = _pad_soup(soup)
+    n_chunks = soup.v0.x.shape[0] // TRI_CHUNK
 
     org = _expand(rays.org, -1)   # [N, 1]
     d = _expand(rays.dir, -1)
@@ -165,7 +180,13 @@ def occluded_tris_dense(rays: Rays, soup: TriSoup,
             soup.e1.x, soup.e1.y, soup.e1.z,
             soup.e2.x, soup.e2.y, soup.e2.z, vis, any_hit=True)
         return occ > 0.0
-    n_chunks = n_tri // TRI_CHUNK
+    soup = _pad_soup(soup)
+    if shadow_visible is not None:
+        pad = soup.v0.x.shape[0] - shadow_visible.shape[0]
+        if pad:
+            shadow_visible = jnp.concatenate(
+                [shadow_visible, jnp.zeros((pad,), shadow_visible.dtype)])
+    n_chunks = soup.v0.x.shape[0] // TRI_CHUNK
     org = _expand(rays.org, -1)
     d = _expand(rays.dir, -1)
     tmin = rays.tmin[..., None]

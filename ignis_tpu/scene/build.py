@@ -888,7 +888,10 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         _append_mesh(lm, 0, True, lv0, le1, le2, ln, luv, [], [], [], {},
                      "__inst__")
         ntl = len(lv0)
-        padl = (-ntl) % PALLAS_CHUNK
+        # Pad to a common multiple of the Pallas chunk (128) and the XLA
+        # scan chunk (TRI_CHUNK=256) so the dense sweep works on every
+        # backend; 128-only padding gave the CPU path zero whole chunks.
+        padl = (-ntl) % max(TRI_CHUNK, PALLAS_CHUNK)
 
         def pad3l(lst):
             a = np.asarray(lst, np.float32).reshape(-1, 3)

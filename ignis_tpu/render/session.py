@@ -140,6 +140,43 @@ def _compiled_aept_sample(settings: RenderSettings):
     return jax.jit(fn)
 
 
+# Below this film size the compacting orchestrator's per-round host syncs
+# cost more than the dead-lane tail it removes.
+_COMPACTION_MIN_LANES = 2 * 4096
+
+
+def _tiled_lane_coords(w: int, h: int):
+    """Lane layout: 32x32 pixel tiles so each 1024-lane Pallas block covers
+    a compact frustum (block chunk-culling fires); returns flat x, y."""
+    x = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :],
+                         (h, w)).reshape(-1)
+    y = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None],
+                         (h, w)).reshape(-1)
+    TILE = 32
+    if (w % TILE == 0) and (h % TILE == 0):
+        def tile_lanes(a):
+            return a.reshape(h // TILE, TILE, w // TILE, TILE) \
+                .transpose(0, 2, 1, 3).reshape(-1)
+        x, y = tile_lanes(x.reshape(h, w)), tile_lanes(y.reshape(h, w))
+    return x, y
+
+
+def _render_iteration_compacting(scene: SceneData, settings: RenderSettings,
+                                 iteration, frame):
+    """Host-orchestrated compacting wavefront render (path technique):
+    the occupancy answer to the reference's stream compaction
+    (mapping_cpu.art:205-253). Returns [h, w, 3] mean radiance."""
+    from ..techniques.path import path_trace_rounds
+    w, h = settings.width, settings.height
+    x, y = _tiled_lane_coords(w, h)
+    color = path_trace_rounds(scene, settings, jnp.asarray(x), jnp.asarray(y),
+                              jnp.uint32(iteration), jnp.uint32(frame))
+    inv = 1.0 / settings.spi
+    # path_trace_rounds scatters by pixel id (y*w + x): already row-major
+    return jnp.stack([color.r.reshape(h, w), color.g.reshape(h, w),
+                      color.b.reshape(h, w)], axis=-1) * inv
+
+
 def _render_iteration_impl(scene: SceneData, settings: RenderSettings,
                            iteration, frame):
     """Render one iteration (settings.spi samples/pixel); returns [h, w, 3]
@@ -390,6 +427,14 @@ class Runtime:
         with self.stats.section(section):
             if self.settings.technique in ("aept", "adaptive_env"):
                 img = self._step_aept()
+            elif (self.settings.technique in ("path", "pt")
+                  and not self.settings.remat
+                  and os.environ.get("IGNIS_TPU_COMPACTION", "1") == "1"
+                  and self.settings.width * self.settings.height
+                  >= _COMPACTION_MIN_LANES):
+                img = _render_iteration_compacting(
+                    self.scene, self.settings, jnp.uint32(self._iteration),
+                    jnp.uint32(self._frame))
             else:
                 img = render_iteration(self.scene, self.settings,
                                        jnp.uint32(self._iteration),
@@ -613,6 +658,27 @@ class Runtime:
         if normalized and self._iteration > 0:
             img = img / self._iteration
         return img
+
+    def dumpShader(self, path=None, full: bool = False) -> str:
+        """DumpShader/DumpShaderFull analog (reference Runtime.cpp:663):
+        the reference dumps the generated Artic shader source per variant;
+        here the 'generated shader' is the traced program, so ``full=False``
+        returns the jaxpr of the render iteration and ``full=True`` the
+        compiled (optimized) HLO for the current backend."""
+        import jax
+
+        def fn(scene, iteration, frame):
+            return _render_iteration_impl(scene, self.settings, iteration,
+                                          frame)
+        args = (self.scene, jnp.uint32(self._iteration),
+                jnp.uint32(self._frame))
+        if full:
+            text = jax.jit(fn).lower(*args).compile().as_text()
+        else:
+            text = str(jax.make_jaxpr(fn)(*args))
+        if path is not None:
+            Path(path).write_text(text)
+        return text
 
     # context-manager parity with the reference Python API
     def __enter__(self):

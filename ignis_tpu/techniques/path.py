@@ -616,6 +616,121 @@ def path_trace_progressive_stats(scene: SceneData, settings: RenderSettings,
     return final.result, q
 
 
+# ---------------------------------------------------------------------------
+# Compacting wavefront: host-orchestrated rounds over shrinking lane buckets
+# ---------------------------------------------------------------------------
+#
+# The persistent-lane wavefront above keeps lanes busy while samples remain,
+# but once a pixel's spi samples are exhausted its lane idles until the LAST
+# lane finishes — measured mean occupancy on diamond_scene 512^2 is ~24%.
+# The reference solves this with stream compaction (rv_compact,
+# mapping_cpu.art:205-253; GPU scatter sort, mapping_gpu.art:409-503). The
+# TPU analog below: run the while_loop until at most half the lanes are
+# alive, fold finished lanes' radiance into the film with one scatter-add,
+# compact survivors (argsort(alive) keeps tile-coherent order) into a
+# half-size buffer, and continue with a cheaper compiled round. Static
+# shapes throughout: one executable per (settings, bucket size), bucket
+# sizes halve along a fixed chain so the compile set is O(log n).
+
+MIN_BUCKET = 4096
+SHRINK = 4   # bucket shrink factor per cascade stage
+
+
+def _start_state(scene, settings, x, y, iteration, frame):
+    from ..core.sampler import sample_pixel_offsets
+    from ..models import camera as cameralib
+    st0 = rnglib.seed(jnp.uint32(0), iteration.astype(jnp.uint32),
+                      frame.astype(jnp.uint32), x.astype(jnp.uint32),
+                      y.astype(jnp.uint32), jnp.uint32(settings.seed))
+    sample_idx = iteration.astype(jnp.uint32) * jnp.uint32(settings.spi)
+    st0, (rx, ry) = sample_pixel_offsets(settings.pixel_sampler, st0,
+                                         sample_idx, x, y)
+    rays = cameralib.generate_rays(scene.camera, settings, x, y, rx, ry,
+                                   rng_state=st0)
+    return initial_state(rays, st0)
+
+
+import functools as _functools
+
+
+def _bucket_chain(n: int):
+    """Static cascade of bucket sizes: n, n//SHRINK, ... down to
+    MIN_BUCKET."""
+    sizes = [n]
+    while sizes[-1] // SHRINK >= MIN_BUCKET:
+        sizes.append(sizes[-1] // SHRINK)
+    return sizes
+
+
+@_functools.lru_cache(maxsize=32)
+def _compiled_cascade(settings: RenderSettings, n: int):
+    """The full compacting render as ONE jitted program (zero host syncs —
+    on tunneled TPU backends every device->host fetch costs ~0.1 s, which
+    ate the host-orchestrated variant's entire win).
+
+    Static structure: a chain of (round, fold, compact) stages with sizes
+    n, n/SHRINK, ... Each round's while_loop exits when the alive count
+    drops to <= size/SHRINK, which by construction is exactly the next
+    stage's capacity — so compaction can never drop a live lane (except
+    when the global iteration budget runs out, where dropping the tail is
+    the same truncation max_depth already imposes). A stage whose
+    precondition is already met (alive small) runs zero iterations and
+    costs one reduction."""
+    sizes = _bucket_chain(n)
+    width = settings.width
+
+    def fn(scene, x, y, iteration, frame):
+        from ..models.texture import make_texture_evaluator
+        ev = make_texture_evaluator(settings.texture_descs, scene.textures)
+        st = _start_state(scene, settings, x, y, iteration, frame)
+        film_r = jnp.zeros(n, jnp.float32)
+        film_g = jnp.zeros(n, jnp.float32)
+        film_b = jnp.zeros(n, jnp.float32)
+        budget = jnp.int32(settings.spi * settings.max_depth)
+        px, py = x, y
+        for si, size in enumerate(sizes):
+            last = si == len(sizes) - 1
+            min_alive = 0 if last else size // SHRINK
+            bounce = make_bounce(scene, settings, (size,), ev,
+                                 regen=(px, py, iteration, frame))
+
+            def cond(carry, min_alive=min_alive):
+                it, s = carry
+                na = jnp.sum(s.alive.astype(jnp.int32))
+                return (it < budget) & (na > min_alive)
+
+            def body(carry, bounce=bounce):
+                it, s = carry
+                s2, _ = bounce(s, it)
+                return (it + 1, s2)
+
+            it_done, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
+            budget = budget - it_done
+
+            # fold this stage's radiance into the film, then compact
+            pid = py * width + px
+            film_r = film_r.at[pid].add(st.result.r)
+            film_g = film_g.at[pid].add(st.result.g)
+            film_b = film_b.at[pid].add(st.result.b)
+            if not last:
+                st = st._replace(result=black((size,)))
+                order = jnp.argsort(~st.alive)[:size // SHRINK]
+                st = jax.tree_util.tree_map(lambda a: a[order], st)
+                px, py = px[order], py[order]
+        return film_r, film_g, film_b
+    return jax.jit(fn)
+
+
+def path_trace_rounds(scene: SceneData, settings: RenderSettings, x, y,
+                      iteration, frame) -> Color:
+    """Compacting progressive render. Returns per-PIXEL radiance summed
+    over all spi samples, indexed by row-major pixel id (y * width + x)."""
+    n = int(x.shape[0])
+    film_r, film_g, film_b = _compiled_cascade(settings, n)(
+        scene, x, y, iteration, frame)
+    return Color(film_r, film_g, film_b)
+
+
 def path_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
                rng_state, eval_texture=None) -> Color:
     """Trace one wavefront of camera rays to completion. Returns radiance."""

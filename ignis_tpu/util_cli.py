@@ -33,6 +33,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Incident phi in degrees")
     pb.add_argument("--res", type=int, default=256)
 
+    pg = sub.add_parser(
+        "glare", help="Glare analysis (igexplorer evalglare analog)")
+    pg.add_argument("input", help="radiance image (EXR/HDR)")
+    pg.add_argument("--fov", type=float, default=60.0)
+    pg.add_argument("--mul", type=float, default=5.0,
+                    help="glare source luminance multiplier over average")
+    pg.add_argument("--scale", type=float, default=1.0)
+    pg.add_argument("--ev", type=float, default=-1.0,
+                    help="vertical illuminance (lx); <0 = automatic")
+    pg.add_argument("-o", "--output", default=None,
+                    help="optional EXR for the relative source map")
+
     pc = sub.add_parser("convert", help="Convert images or meshes")
     pc.add_argument("input")
     pc.add_argument("output")
@@ -203,12 +215,48 @@ def _cmd_inspect(args) -> int:
     return 0
 
 
+def _cmd_glare(args) -> int:
+    from .render.glare import compute_glare
+    from .utils.image import load_image
+    img = load_image(args.input)
+    r = compute_glare(img[..., :3], fov_deg=args.fov, mul=args.mul,
+                      scale=args.scale, vertical_illuminance=args.ev)
+    # the explorer overview table (OverviewWidget.cpp:46-74)
+    perception = "Imperceptible"
+    if r.dgp > 0.45:
+        perception = "Intolerable"
+    elif r.dgp > 0.40:
+        perception = "Disturbing"
+    elif r.dgp > 0.35:
+        perception = "Perceptible"
+    print(f"DGP     {r.dgp:8.3f}  ({perception})")
+    print(f"DGI     {r.dgi:8.3f}")
+    print(f"DGI_mod {r.dgi_mod:8.3f}")
+    print(f"DGR     {r.dgr:8.3f}")
+    print(f"VCP     {r.vcp:8.3f}")
+    print(f"UGR     {r.ugr:8.3f}")
+    print(f"UGR_exp {r.ugr_exp:8.3f}")
+    print(f"UGP     {r.ugp:8.3f}")
+    print(f"Ev      {r.vertical_illuminance:8.3f} lx")
+    print(f"Lum avg {r.avg_lum:8.3f} cd/m^2   max {r.max_lum:.3f}")
+    print(f"Source  lum {r.source_lum:.3f}  omega {r.source_omega:.5f}  "
+          f"at ({r.source_x:.1f}, {r.source_y:.1f})")
+    if args.output:
+        import numpy as np
+        from .utils.image import save_image
+        m = r.source_map.astype("float32")
+        save_image(args.output, np.stack([m, m, m], axis=-1))
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "info":
         return _cmd_info(args)
     if args.command == "inspect":
         return _cmd_inspect(args)
+    if args.command == "glare":
+        return _cmd_glare(args)
     return _cmd_convert(args)
 
 

@@ -54,6 +54,7 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     import jax
+    import jax.numpy as jnp
     from . import Runtime
     from .utils.image import save_image
 
@@ -90,7 +91,9 @@ def main(argv=None) -> int:
     for i in range(iters):
         it0 = time.time()
         rt.step()
-        jax.block_until_ready(rt._film)
+        # block_until_ready does not reliably sync on tunneled backends;
+        # a D2H scalar fetch is the only honest per-iteration fence
+        float(jnp.sum(rt._film))
         iter_times.append(time.time() - it0)
         if args.timeout > 0 and time.time() - t_start > args.timeout:
             break

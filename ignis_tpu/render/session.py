@@ -210,6 +210,26 @@ def _render_iteration_impl(scene: SceneData, settings: RenderSettings,
         return jnp.stack([color.r.reshape(h, w), color.g.reshape(h, w),
                           color.b.reshape(h, w)], axis=-1) * inv
 
+    if settings.technique in ("path", "pt") and settings.remat \
+            and os.environ.get("IGNIS_TPU_DIFF_CASCADE", "1") == "1":
+        # Differentiable compacting cascade: the gradient path gets the
+        # same occupancy economics as the forward cascade (scan + cond-skip
+        # instead of while_loop, techniques/path.py path_trace_cascade_diff)
+        from ..techniques.path import path_trace_cascade_diff
+        x2, y2 = _tiled_lane_coords(w, h)
+        color = path_trace_cascade_diff(scene, settings, x2, y2, iteration,
+                                        frame, eval_texture)
+        TILE = 32
+        if (w % TILE == 0) and (h % TILE == 0):
+            def untile(a):
+                return a.reshape(h // TILE, w // TILE, TILE, TILE) \
+                    .transpose(0, 2, 1, 3).reshape(h, w)
+        else:
+            untile = lambda a: a.reshape(h, w)
+        inv = 1.0 / settings.spi
+        return jnp.stack([untile(color.r), untile(color.g),
+                          untile(color.b)], axis=-1) * inv
+
     if settings.technique in ("path", "pt") and not settings.remat:
         # Persistent-lane progressive path: all spi samples in one
         # regenerating wavefront (keeps lanes busy through the RR tail).

@@ -731,6 +731,71 @@ def path_trace_rounds(scene: SceneData, settings: RenderSettings, x, y,
     return Color(film_r, film_g, film_b)
 
 
+DIFF_CHUNK = 8  # checkpoint granularity of the differentiable cascade
+
+
+def path_trace_cascade_diff(scene: SceneData, settings: RenderSettings,
+                            x, y, iteration, frame, eval_texture=None) -> Color:
+    """Differentiable compacting cascade (the gradient-path analog of
+    `_compiled_cascade`).
+
+    Reverse-mode AD cannot differentiate `lax.while_loop`, so each cascade
+    stage becomes a fixed-length `lax.scan` whose iteration body is wrapped
+    in `lax.cond`: once the stage's exit condition holds (alive count at or
+    below the next bucket's capacity, or the global spi*max_depth budget
+    spent) the remaining scan steps take the identity branch and cost ~one
+    reduction each — a reverse-mode-safe early exit. Compaction (stable
+    argsort gather) and the film fold (scatter-add by original lane id)
+    are both differentiable, so parameter gradients flow through every
+    completed path exactly as in the plain rematerialized scan, at the
+    compacted wavefront's cost. Memory: `jax.checkpoint` per DIFF_CHUNK
+    iterations (nested-scan rematerialization).
+
+    Returns per-lane radiance in x's ORIGINAL lane order (sum over spi
+    samples)."""
+    n = int(x.shape[0])
+    sizes = _bucket_chain(n)
+    budget_total = settings.spi * settings.max_depth
+    n_chunks = -(-budget_total // DIFF_CHUNK)
+    st = _start_state(scene, settings, x, y, iteration, frame)
+    film_r = jnp.zeros(n, jnp.float32)
+    film_g = jnp.zeros(n, jnp.float32)
+    film_b = jnp.zeros(n, jnp.float32)
+    px, py = x, y
+    l0 = jnp.arange(n, dtype=jnp.int32)
+    consumed = jnp.int32(0)
+    for si, size in enumerate(sizes):
+        last = si == len(sizes) - 1
+        min_alive = 0 if last else size // SHRINK
+        bounce = make_bounce(scene, settings, (size,), eval_texture,
+                             regen=(px, py, iteration, frame))
+
+        def it_body(carry, _, bounce=bounce, min_alive=min_alive):
+            s, cons = carry
+            na = jnp.sum(s.alive.astype(jnp.int32))
+            do = (na > min_alive) & (cons < budget_total)
+            s2 = jax.lax.cond(do, lambda s_: bounce(s_, cons)[0],
+                              lambda s_: s_, s)
+            return (s2, cons + do.astype(jnp.int32)), None
+
+        def chunk(carry, _, it_body=it_body):
+            return jax.lax.scan(it_body, carry, None, length=DIFF_CHUNK)
+
+        chunk_ckpt = jax.checkpoint(chunk, prevent_cse=False)
+        (st, consumed), _ = jax.lax.scan(chunk_ckpt, (st, consumed), None,
+                                         length=n_chunks)
+
+        film_r = film_r.at[l0].add(st.result.r)
+        film_g = film_g.at[l0].add(st.result.g)
+        film_b = film_b.at[l0].add(st.result.b)
+        if not last:
+            st = st._replace(result=black((size,)))
+            order = jnp.argsort(~st.alive)[:size // SHRINK]
+            st = jax.tree_util.tree_map(lambda a: a[order], st)
+            px, py, l0 = px[order], py[order], l0[order]
+    return Color(film_r, film_g, film_b)
+
+
 def path_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
                rng_state, eval_texture=None) -> Color:
     """Trace one wavefront of camera rays to completion. Returns radiance."""

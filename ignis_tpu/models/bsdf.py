@@ -762,12 +762,14 @@ def sample_bsdf(mat: MatParams, frame: Frame, is_entering, out_dir: Vec3,
             out = sel(BsdfKind.KLEMS, klems_s, out)
         if _want(present, BsdfKind.TENSORTREE):
             from . import tensortree as ttlib
-            wdir, tpdf, tw, tvalid = _measured_dispatch(
+            zero_t5 = zero_t + (zero > 1,)
+            wdir, tpdf, tw, tvalid, tpeak = _measured_dispatch(
                 lambda kd, kf: ttlib.tt_sample(kd, mat.base, kf, out_dir,
                                                u0, u1, u2),
-                mat, frame, is_entering, measured, zero_t,
+                mat, frame, is_entering, measured, zero_t5,
                 ttlib.TensorTreeData)
-            tt_s = BsdfSample(frame.to_local(wdir), tpdf, tw, one, false,
+            # tpeak: peak-extraction delta transmission (tensortree.art:320)
+            tt_s = BsdfSample(frame.to_local(wdir), tpdf, tw, one, tpeak,
                               tvalid)
             out = sel(BsdfKind.TENSORTREE, tt_s, out)
         if _want(present, BsdfKind.DJMEASURED):

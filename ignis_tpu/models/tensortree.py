@@ -20,6 +20,7 @@ from ..core.warp import cosine_hemisphere_pdf, sample_cosine_hemisphere
 class TTComponentData(NamedTuple):
     grid: jnp.ndarray    # res^ndim dense bake
     total: jnp.ndarray   # scalar
+    min_proj_sa: jnp.ndarray  # scalar: pi / 4^maxDepth
 
 
 class TensorTreeData(NamedTuple):
@@ -27,15 +28,20 @@ class TensorTreeData(NamedTuple):
     back_reflection: TTComponentData
     front_transmission: TTComponentData
     back_transmission: TTComponentData
+    # 'peakExtraction' property (default true); stored as a 0/1 f32 leaf so
+    # the pytree stays jit-traceable (used via jnp.where, never `if`)
+    use_peak: jnp.ndarray = None
 
 
-def from_numpy(t) -> TensorTreeData:
+def from_numpy(t, use_peak: bool = True) -> TensorTreeData:
     def comp(c):
-        return TTComponentData(jnp.asarray(c.grid), jnp.float32(c.total))
+        return TTComponentData(jnp.asarray(c.grid), jnp.float32(c.total),
+                               jnp.float32(getattr(c, "min_proj_sa", 3.1416)))
     return TensorTreeData(comp(t.front_reflection),
                           comp(t.back_reflection),
                           comp(t.front_transmission),
-                          comp(t.back_transmission))
+                          comp(t.back_transmission),
+                          jnp.float32(1.0 if use_peak else 0.0))
 
 
 def _disk_to_square(x, y):
@@ -99,6 +105,52 @@ def _eval_factor(tt: TensorTreeData, wi: Vec3, wo: Vec3):
     return jnp.where(ok, f, 0.0)
 
 
+# Probe-direction stencil (29 offsets in units of the search radius) used
+# by the peak-transmission scan — reference tt_dir2check, tensortree.art:128.
+_DIR2CHECK = (
+    (0, 0), (-0.6, 0), (0, 0.6), (0, -0.6), (0.6, 0),
+    (-0.6, 0.6), (-0.6, -0.6), (0.6, 0.6), (0.6, -0.6),
+    (-1.2, 0), (0, 1.2), (0, -1.2), (1.2, 0),
+    (-1.2, 1.2), (-1.2, -1.2), (1.2, 1.2), (1.2, -1.2),
+    (-1.8, 0), (0, 1.8), (0, -1.8), (1.8, 0),
+    (-1.8, 1.8), (-1.8, -1.8), (1.8, 1.8), (1.8, -1.8),
+    (-2.4, 0), (0, 2.4), (0, -2.4), (2.4, 0),
+)
+
+
+def _check_peak_transmission(tt: TensorTreeData, comp: TTComponentData,
+                             wo: Vec3):
+    """Vectorized tt_check_peak_transmission (tensortree.art:161): probe 29
+    directions around -wo within sqrt(min_proj_sa), classify each into peak
+    vs surrounding, and accept a delta transmission peak when enough
+    surrounding exists and the peak luminance passes 0.005.
+
+    Faithful to the shipped reference semantics: its kernel returns the
+    CONSTANT proj_sa = pi per eval (tensortree.art:125), so for any tree
+    deeper than level 0 every probe lands in 'surrounding'
+    (pi > 1.5 * min_proj_sa) and the scan reports no peak — the check only
+    fires for degenerate depth-0 data. Mirrored exactly, constant and all."""
+    nd = tt.front_reflection.grid.ndim
+    srchrad = jnp.sqrt(comp.min_proj_sa)
+    proj_sa = jnp.pi  # reference eval's constant (tensortree.art:125)
+    shape = wo.x.shape
+    peak_lum = jnp.zeros(shape)
+    om_peak = jnp.zeros(shape)
+    om_surr = jnp.zeros(shape)
+    peak_count = jnp.zeros(shape)
+    for ox, oy in _DIR2CHECK:
+        wi = Vec3(-wo.x + ox * srchrad, -wo.y + oy * srchrad, -wo.z)
+        factor = _eval_component(comp, nd, wi, wo)
+        surr = (proj_sa > 1.5 * comp.min_proj_sa) | \
+            (peak_lum > 8.0 * factor * peak_count)
+        om_surr = om_surr + jnp.where(surr, proj_sa, 0.0)
+        peak_lum = peak_lum + jnp.where(surr, 0.0, factor)
+        om_peak = om_peak + jnp.where(surr, 0.0, proj_sa)
+        peak_count = peak_count + jnp.where(surr, 0.0, 1.0)
+    ok = ~((om_surr < 0.2 * om_peak) | (peak_lum < 0.005))
+    return ok & (tt.use_peak > 0.5)
+
+
 def _refl_prob(tt: TensorTreeData, wo_z):
     fp = safe_div(tt.front_reflection.total,
                   tt.front_reflection.total + tt.back_transmission.total)
@@ -115,12 +167,25 @@ def tt_eval(tt: TensorTreeData, base_color: Color, kframe, in_dir: Vec3,
     return Color(base_color.r * f, base_color.g * f, base_color.b * f)
 
 
+def _peak_by_side(tt: TensorTreeData, wo: Vec3):
+    """Peak check against the outgoing side's transmission component
+    (get_refl_prob pairing, tensortree.art:271): wo front -> back
+    transmission, wo back -> front transmission. Evaluated for both sides
+    and lane-selected (grids may differ in shape)."""
+    pk_b = _check_peak_transmission(tt, tt.back_transmission, wo)
+    pk_f = _check_peak_transmission(tt, tt.front_transmission, wo)
+    return jnp.where(wo.z > 0, pk_b, pk_f)
+
+
 def tt_pdf(tt: TensorTreeData, kframe, in_dir: Vec3, out_dir: Vec3):
     wi = kframe.to_local(in_dir)
     wo = kframe.to_local(out_dir)
     rp = _refl_prob(tt, wo.z)
     same = (wi.z * wo.z) > 0
     prob = jnp.where(same, rp, 1.0 - rp)
+    # peak extraction: a transmission peak is a delta event -> pdf 0
+    # (tensortree.art:299)
+    prob = jnp.where(~same & _peak_by_side(tt, wo), 0.0, prob)
     return prob * cosine_hemisphere_pdf(jnp.abs(wi.z))
 
 
@@ -132,10 +197,13 @@ def tt_sample(tt: TensorTreeData, base_color: Color, kframe, out_dir: Vec3,
     pick_refl = (rp > 0) & (u0 < rp)
     same_side = Vec3(cdir.x, cdir.y,
                      jnp.where(wo.z >= 0, cdir.z, -cdir.z))
-    wi = vselect(pick_refl, same_side, -same_side)
+    # peak extraction: transmission pick becomes the straight-through delta
+    # direction -wo with pdf = 1-rp (tensortree.art:316-320)
+    peak = _peak_by_side(tt, wo) & ~pick_refl
+    wi = vselect(pick_refl, same_side, vselect(peak, -wo, -same_side))
     prob = jnp.where(pick_refl, rp, 1.0 - rp)
-    pdf = prob * cpdf
+    pdf = jnp.where(peak, 1.0 - rp, prob * cpdf)
     f = _eval_factor(tt, wi, wo)
     w = safe_div(f, pdf)
     weight = Color(base_color.r * w, base_color.g * w, base_color.b * w)
-    return kframe.to_world(wi), pdf, weight, pdf > 1e-9
+    return kframe.to_world(wi), pdf, weight, pdf > 1e-9, peak

@@ -471,15 +471,17 @@ def _bsdf_row(obj: SceneObject, texreg: "TextureRegistry",
             row["kind"] = int(BsdfKind.NULL_ERROR)
     elif t == "tensortree":
         # Measured tensor-tree BSDF (TensorTreeBSDF.cpp); the tree is baked
-        # to dense grids at load (scene/tensortree.py). peakExtraction is
-        # not implemented (documented deviation).
+        # to dense grids at load (scene/tensortree.py). peakExtraction
+        # (default true, TensorTreeBSDF.cpp:67) mirrors the shipped
+        # reference semantics — see models/tensortree.py.
         from ..models.tensortree import from_numpy as _tt_jnp
         from .tensortree import load_tensortree
         try:
             tnp = load_tensortree(obj.path("filename"))
             row["kind"] = int(BsdfKind.TENSORTREE)
             row["q6"] = float(len(texreg.measured))
-            texreg.measured.append(_tt_jnp(tnp))
+            texreg.measured.append(_tt_jnp(
+                tnp, use_peak=obj.get_bool("peakExtraction", True)))
             col("base_color", (1, 1, 1))
             up = np.asarray(obj.get_vec3("up", (0, 0, 1)), np.float64)
             up = up / max(np.linalg.norm(up), 1e-9)

@@ -11,8 +11,10 @@ representation into per-theta_i-node dense tables:
 The reference inverts the VNDF warp per evaluation (Marginal2D::invert,
 a data-dependent search). Baking moves that inversion to load time; at
 shading time eval/pdf/sample are static gathers — the TPU-native shape.
-Only the isotropic case is materialized (phi_i count <= 2, the norm for
-the RGL database); anisotropic files raise.
+Isotropic files (phi_i count <= 2, the norm for the RGL database) bake a
+single phi_i slice with phi-relative parameterization; anisotropic files
+bake one slice per phi_i node with absolute phi (djmeasured.art:529 only
+shifts u_wm.y by phi_i in the isotropic case).
 """
 from __future__ import annotations
 
@@ -135,18 +137,18 @@ class _Marginal2D:
 
 class DJMeasuredNp(NamedTuple):
     theta_nodes: np.ndarray  # [T]
-    fr: np.ndarray           # [T, H, W, 3]
-    g: np.ndarray            # [T, H, W] sampling density over u_wm
-    marg_cdf: np.ndarray     # [T, H] inclusive
-    cond_cdf: np.ndarray     # [T, H, W] inclusive per-row
+    phi_nodes: np.ndarray    # [P] (P == 1: isotropic, phi-relative tables)
+    fr: np.ndarray           # [P, T, H, W, 3]
+    g: np.ndarray            # [P, T, H, W] sampling density over u_wm
+    marg_cdf: np.ndarray     # [P, T, H] inclusive
+    cond_cdf: np.ndarray     # [P, T, H, W] inclusive per-row
 
 
 def load_djmeasured(path, res: int = 128) -> DJMeasuredNp:
     f = read_tensor_file(path)
     theta_i = f["theta_i"].astype(np.float64)
     phi_i = f["phi_i"].astype(np.float64)
-    if phi_i.shape[0] > 2:
-        raise ValueError(f"{path}: anisotropic djmeasured not supported")
+    isotropic = phi_i.shape[0] <= 2
     ndf = f["ndf"].astype(np.float64)       # [hn, wn]
     sigma = f["sigma"].astype(np.float64)   # [hs, ws]
     vndf = f["vndf"].astype(np.float64)     # [P, T, hv, wv]
@@ -154,37 +156,43 @@ def load_djmeasured(path, res: int = 128) -> DJMeasuredNp:
     rgb = f["rgb"].astype(np.float64)       # [P, T, 3, hr, wr]
 
     T = theta_i.shape[0]
+    P = 1 if isotropic else vndf.shape[0]
     H = W = res
     uxs = (np.arange(W) + 0.5) / W
     uys = (np.arange(H) + 0.5) / H
     uxx, uyy = np.meshgrid(uxs, uys)
 
-    fr_t = np.zeros((T, H, W, 3), np.float32)
-    g_t = np.zeros((T, H, W), np.float32)
-    for t in range(T):
-        th = float(theta_i[t])
-        u_wi_x = theta2u(th)
-        u_wi_y = phi2u(0.0)
-        sigma_i = max(float(_bilinear(sigma, np.float64(u_wi_x),
-                                      np.float64(u_wi_y))), 1e-9)
-        vw = _Marginal2D(vndf[0, t])
-        lw = _Marginal2D(lum[0, t])
-        sx, sy, vndf_pdf = vw.invert(uxx, uyy)
-        ndf_v = _bilinear(ndf, uxx, uyy)
-        for c in range(3):
-            val = _bilinear(rgb[0, t, c], sx, sy)
-            fr_t[t, ..., c] = np.maximum(val, 0.0) * ndf_v / (4.0 * sigma_i)
-        g_t[t] = vndf_pdf * lw.density(sx, sy)
+    fr_t = np.zeros((P, T, H, W, 3), np.float32)
+    g_t = np.zeros((P, T, H, W), np.float32)
+    for pi in range(P):
+        ph = 0.0 if isotropic else float(phi_i[pi])
+        for t in range(T):
+            th = float(theta_i[t])
+            u_wi_x = theta2u(th)
+            u_wi_y = phi2u(ph)
+            sigma_i = max(float(_bilinear(sigma, np.float64(u_wi_x),
+                                          np.float64(u_wi_y))), 1e-9)
+            vw = _Marginal2D(vndf[pi, t])
+            lw = _Marginal2D(lum[pi, t])
+            sx, sy, vndf_pdf = vw.invert(uxx, uyy)
+            ndf_v = _bilinear(ndf, uxx, uyy)
+            for c in range(3):
+                val = _bilinear(rgb[pi, t, c], sx, sy)
+                fr_t[pi, t, ..., c] = np.maximum(val, 0.0) * ndf_v \
+                    / (4.0 * sigma_i)
+            g_t[pi, t] = vndf_pdf * lw.density(sx, sy)
 
     # inclusive CDFs over the baked sampling density
-    gsum = g_t.reshape(T, H, W).astype(np.float64)
-    row = np.cumsum(gsum, axis=2)
+    gsum = g_t.astype(np.float64)
+    row = np.cumsum(gsum, axis=3)
     row_tot = np.maximum(row[..., -1:], 1e-300)
     cond = (row / row_tot).astype(np.float32)
     cond[..., -1] = 1.0
-    marg = np.cumsum(row_tot[..., 0], axis=1)
+    marg = np.cumsum(row_tot[..., 0], axis=2)
     marg_tot = np.maximum(marg[..., -1:], 1e-300)
     marg = (marg / marg_tot).astype(np.float32)
     marg[..., -1] = 1.0
 
-    return DJMeasuredNp(theta_i.astype(np.float32), fr_t, g_t, marg, cond)
+    phi_nodes = (np.zeros(1) if isotropic else phi_i).astype(np.float32)
+    return DJMeasuredNp(theta_i.astype(np.float32), phi_nodes,
+                        fr_t, g_t, marg, cond)

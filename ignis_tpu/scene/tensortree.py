@@ -35,6 +35,8 @@ class TTNode(NamedTuple):
 class TensorTreeComponentNp(NamedTuple):
     grid: np.ndarray     # ndim-dimensional dense bake, res^ndim
     total: float
+    # reference TensorTreeLoader.h:107: pi / 4^maxDepth (peak extraction)
+    min_proj_sa: float
 
 
 class TensorTreeNp(NamedTuple):
@@ -108,14 +110,17 @@ def _bake(node: TTNode, grid: np.ndarray, ndim: int):
 def _component(node: Optional[TTNode], ndim: int,
                max_res: int) -> TensorTreeComponentNp:
     if node is None:
-        return TensorTreeComponentNp(np.zeros((1,) * ndim, np.float32), 0.0)
+        return TensorTreeComponentNp(np.zeros((1,) * ndim, np.float32), 0.0,
+                                     float(np.pi))
     depth = max(_max_depth(node), 1)
     cap = 6 if ndim == 4 else 8
     res = 1 << min(depth, cap, max_res.bit_length() - 1)
     grid = np.zeros((res,) * ndim, np.float32)
     _bake(node, grid, ndim)
     # total ~ pi * mean BTDF: used only for relative lobe probabilities
-    return TensorTreeComponentNp(grid, float(np.pi * grid.mean()))
+    min_proj_sa = float(np.pi / float((1 << depth) * (1 << depth)))
+    return TensorTreeComponentNp(grid, float(np.pi * grid.mean()),
+                                 min_proj_sa)
 
 
 def load_tensortree(path, max_res: int = 256) -> TensorTreeNp:

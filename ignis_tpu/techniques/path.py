@@ -57,7 +57,68 @@ def _use_pallas_bvh(scene: SceneData) -> bool:
             and scene.bvh.chunk.child.shape[0] <= MAX_NODES)
 
 
-def trace_scene(scene: SceneData, rays: Rays) -> Hit:
+import os as _os
+
+# Measured OFF-by-default (diamond 512^2, TPU v5e): coherence-sorting every
+# trace/shadow wavefront costs more than it saves — jnp.argsort of 262k
+# keys plus the gather/ungather round trip took the cascade step from
+# 1.32s to 3.37s. The reference's stream sorts (mapping_cpu.art:63,
+# mapping_gpu.art:409) target per-material shader divergence, which the
+# masked LaneShader already absorbs; traversal divergence is cheaper to
+# eat via per-block chunk culling than to sort away on TPU.
+_RAY_SORT = _os.environ.get("IGNIS_TPU_RAY_SORT", "0") == "1"
+
+
+def _ray_sort_key(scene: SceneData, rays: Rays) -> jnp.ndarray:
+    """Traversal-coherence sort key: direction octant (3 bits) + 5-bit
+    direction cells + 9-bit origin Morton inside the scene bounds. The
+    reference sorts its streams for shading coherence (counting sort by
+    entity, mapping_cpu.art:63; material scatter sort, mapping_gpu.art:409);
+    on TPU the win is in TRAVERSAL — the Pallas walk sweeps the union of
+    chunks any lane in a 1024-block needs, so grouping similar rays
+    shrinks every block's working set. Dead lanes (tmax < tmin) sort last
+    so whole blocks cull."""
+    c, r = scene.scene_center, scene.scene_radius
+    inv = 0.5 / jnp.maximum(r, 1e-6)
+    qx = jnp.clip(((rays.org.x - c.x) * inv + 0.5) * 8, 0, 7).astype(jnp.int32)
+    qy = jnp.clip(((rays.org.y - c.y) * inv + 0.5) * 8, 0, 7).astype(jnp.int32)
+    qz = jnp.clip(((rays.org.z - c.z) * inv + 0.5) * 8, 0, 7).astype(jnp.int32)
+
+    def spread3(v):  # 3-bit morton spread
+        return ((v & 4) << 4) | ((v & 2) << 2) | (v & 1)
+
+    morton = (spread3(qx) << 2) | (spread3(qy) << 1) | spread3(qz)
+    oct_ = ((rays.dir.x > 0).astype(jnp.int32) * 4
+            + (rays.dir.y > 0).astype(jnp.int32) * 2
+            + (rays.dir.z > 0).astype(jnp.int32))
+    dx = jnp.clip((jnp.abs(rays.dir.x) * 4), 0, 3).astype(jnp.int32)
+    dy = jnp.clip((jnp.abs(rays.dir.y) * 4), 0, 3).astype(jnp.int32)
+    dead = (rays.tmax < rays.tmin).astype(jnp.int32)
+    return (dead << 20) | (oct_ << 17) | (dx << 15) | (dy << 13) | morton
+
+
+def _traced_sorted(scene: SceneData, rays: Rays, fn):
+    """Run a per-ray traversal `fn` on coherence-sorted rays, then restore
+    lane order (gather by inverse permutation)."""
+    n = rays.tmin.shape[0]
+    order = jnp.argsort(_ray_sort_key(scene, rays))
+    g = lambda a: a[order]
+    rs = Rays(Vec3(g(rays.org.x), g(rays.org.y), g(rays.org.z)),
+              Vec3(g(rays.dir.x), g(rays.dir.y), g(rays.dir.z)),
+              g(rays.tmin), g(rays.tmax))
+    out = fn(rs)
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return jax.tree_util.tree_map(lambda a: a[inv], out)
+
+
+def trace_scene(scene: SceneData, rays: Rays, sort: bool = None) -> Hit:
+    if sort is None:
+        sort = _RAY_SORT
+    if sort and scene.bvh is not None and rays.tmin.ndim == 1 \
+            and rays.tmin.shape[0] >= 4096:
+        return _traced_sorted(scene, rays,
+                              lambda r: trace_scene(scene, r, sort=False))
     if scene.bvh is not None:
         if _use_pallas_bvh(scene):
             from ..ops.pallas_bvh import intersect_bvh_pallas
@@ -78,7 +139,13 @@ def trace_scene(scene: SceneData, rays: Rays) -> Hit:
     return h
 
 
-def occluded_scene(scene: SceneData, rays: Rays) -> jnp.ndarray:
+def occluded_scene(scene: SceneData, rays: Rays, sort: bool = None) -> jnp.ndarray:
+    if sort is None:
+        sort = _RAY_SORT
+    if sort and scene.bvh is not None and rays.tmin.ndim == 1 \
+            and rays.tmin.shape[0] >= 4096:
+        return _traced_sorted(scene, rays,
+                              lambda r: occluded_scene(scene, r, sort=False))
     if scene.bvh is not None:
         if _use_pallas_bvh(scene):
             from ..ops.pallas_bvh import intersect_bvh_pallas

@@ -299,6 +299,50 @@ def test_djmeasured_diffuse_matches_lambert(tmp_path):
     assert abs(a.mean() - b.mean()) / b.mean() < 0.01
 
 
+def test_djmeasured_anisotropic_matches_isotropic(tmp_path):
+    """An anisotropic powitacq file (4 phi_i nodes) whose slices all hold
+    the same lambertian data must render exactly like the 2-node isotropic
+    encoding — exercises the absolute-phi table path + phi_i-node
+    interpolation (djmeasured.art:529)."""
+    T, P, R, rho = 8, 4, 16, 0.7
+    base_fields = {
+        "theta_i": np.linspace(0, np.pi / 2 * 0.98, T).astype(np.float32),
+        "ndf": np.ones((R, R), np.float32),
+        "sigma": np.full((R, R), 0.25, np.float32),
+        "jacobian": np.zeros((1,), np.uint8),
+    }
+    aniso = dict(base_fields)
+    aniso["phi_i"] = np.linspace(-np.pi, np.pi, P).astype(np.float32)
+    aniso["vndf"] = np.ones((P, T, R, R), np.float32)
+    aniso["luminance"] = np.ones((P, T, R, R), np.float32)
+    aniso["rgb"] = np.full((P, T, 3, R, R), rho / np.pi, np.float32)
+    pa = tmp_path / "aniso.bsdf"
+    _write_tensor_file(pa, aniso)
+
+    iso = dict(base_fields)
+    iso["phi_i"] = np.array([-np.pi, np.pi], np.float32)
+    iso["vndf"] = np.ones((2, T, R, R), np.float32)
+    iso["luminance"] = np.ones((2, T, R, R), np.float32)
+    iso["rgb"] = np.full((2, T, 3, R, R), rho / np.pi, np.float32)
+    pi_ = tmp_path / "iso.bsdf"
+    _write_tensor_file(pi_, iso)
+
+    from ignis_tpu.scene.djmeasured import load_djmeasured
+    da = load_djmeasured(str(pa))
+    assert da.phi_nodes.shape[0] == P and da.fr.shape[0] == P
+
+    scene = json.loads(json.dumps(BASE))
+    scene["bsdfs"] = [{"type": "djmeasured", "name": "g",
+                       "filename": str(pa)}]
+    a, rt = _render(scene, spi=32)
+    assert rt.warnings == []
+    ref = json.loads(json.dumps(BASE))
+    ref["bsdfs"] = [{"type": "djmeasured", "name": "g",
+                     "filename": str(pi_)}]
+    b, _ = _render(ref, spi=32)
+    assert abs(a.mean() - b.mean()) / b.mean() < 0.01
+
+
 def test_light_selectors_agree():
     """uniform / cdf / hierarchy selectors estimate the same image
     (light_selector.art + light_hierarchy.art RTG many-lights traversal)."""
@@ -330,3 +374,38 @@ def test_light_selectors_agree():
         means[sel] = img.mean()
     for sel in ("cdf", "hierarchy"):
         assert abs(means[sel] - means["uniform"]) / means["uniform"] < 0.02
+
+
+def test_tensortree_peak_extraction_semantics():
+    """Peak extraction (tensortree.art:161 tt_check_peak_transmission):
+    the shipped reference kernel returns the CONSTANT proj_sa = pi per
+    probe (tensortree.art:125), so for any tree deeper than level 0 every
+    probe classifies as 'surrounding' and no peak fires; only a degenerate
+    depth-0 (uniform) component can report a peak. Mirror both cases."""
+    import jax.numpy as jnp
+    from ignis_tpu.core.vec import Vec3
+    from ignis_tpu.models.tensortree import (TTComponentData, TensorTreeData,
+                                             _check_peak_transmission)
+
+    wo = Vec3(jnp.full((4,), 0.3), jnp.full((4,), 0.1), jnp.full((4,), 0.9))
+
+    def tt_of(comp):
+        return TensorTreeData(comp, comp, comp, comp, jnp.float32(1.0))
+
+    # depth>=1 component: min_proj_sa = pi/4 -> every probe 'surrounding'
+    deep = TTComponentData(jnp.full((2, 2, 2), 0.8, jnp.float32),
+                           jnp.float32(1.0), jnp.float32(np.pi / 4))
+    ok = np.asarray(_check_peak_transmission(tt_of(deep), deep, wo))
+    assert not ok.any()
+
+    # depth-0 (uniform bright) component: min_proj_sa = pi -> probes count
+    # as peak, surrounding stays 0 -> 0 < 0.2*peak -> still no peak
+    flat = TTComponentData(jnp.full((1, 1, 1), 0.8, jnp.float32),
+                           jnp.float32(1.0), jnp.float32(np.pi))
+    ok2 = np.asarray(_check_peak_transmission(tt_of(flat), flat, wo))
+    assert not ok2.any()
+
+    # use_peak=0 disables the check entirely
+    tt_off = TensorTreeData(deep, deep, deep, deep, jnp.float32(0.0))
+    assert not np.asarray(
+        _check_peak_transmission(tt_off, deep, wo)).any()

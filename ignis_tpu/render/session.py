@@ -314,6 +314,7 @@ class Runtime:
         self._source_scene = source_scene  # parsed scene, for setParameter
         self._overrides = dict(overrides or {})
         self._params_dirty = False
+        self._user_aovs = {}
         from ..utils.stats import Statistics
         self.stats = Statistics()
 
@@ -534,6 +535,7 @@ class Runtime:
                     layers[name] = np.asarray(img)
             except Exception:
                 pass
+            layers.update(self._user_aovs)
         cam = self.scene.camera
         v3 = lambda v: (float(v.x), float(v.y), float(v.z))
         metadata = {
@@ -606,6 +608,37 @@ class Runtime:
 
     def inc_frame(self):
         self._frame += 1
+
+    # -- AOV registry (reference driver/aov.art AOVImage + Runtime::aovs,
+    #    python getFramebufferForHost(aov)) --------------------------------
+    @property
+    def AOVs(self) -> list:
+        """Names of available AOV layers (reference Runtime::aovs)."""
+        return list(self.render_aovs().keys()) + list(self._user_aovs)
+
+    def registerAOV(self, name: str, image) -> None:
+        """Publish a user AOV layer (RenderPass outputs, custom buffers).
+        The layer participates in getFramebufferForHost/saveFramebuffer."""
+        img = np.asarray(image, np.float32)
+        if img.shape[:2] != (self.settings.height, self.settings.width):
+            raise ValueError(f"AOV '{name}' shape {img.shape} != film")
+        self._user_aovs[name] = img
+
+    def getFramebufferForHost(self, aov: str = "") -> np.ndarray:
+        """Framebuffer (or named AOV layer) as a numpy [h, w, 3] array —
+        reference python API (runtime.cpp:232, aov='' = color)."""
+        if not aov or aov in ("", "Color"):
+            return self.framebuffer(normalized=True)
+        if aov in self._user_aovs:
+            img = self._user_aovs[aov]
+        else:
+            layers = self.render_aovs()
+            if aov not in layers:
+                raise KeyError(f"unknown AOV '{aov}' (have {self.AOVs})")
+            img = layers[aov]
+        if img.ndim == 2:
+            img = np.stack([img, img, img], axis=-1)
+        return np.asarray(img, np.float32)
 
     def render_aovs(self) -> dict:
         """Normals/Albedo/Depth AOV images (reference AOV system +

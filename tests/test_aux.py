@@ -78,3 +78,51 @@ def test_parameter_desc_set():
     assert descs["strength"]["description"] == "demo knob"
     assert descs["tintv"]["type"] == "vector"
     assert descs["plain"] == {"type": "number", "value": 2.0}
+
+
+def test_aov_registry_and_bake(tmp_path):
+    """General AOV registry (reference Runtime::aovs + python
+    getFramebufferForHost(aov)) and the PExpr bake entry point
+    (BakeShader::setupTexture2d, entrypoints/bake.art)."""
+    import json
+
+    import numpy as np
+
+    import ignis_tpu
+    from ignis_tpu.render.bake import bake_texture2d, bake_texture_average
+
+    scene = {
+        "technique": {"type": "path", "max_depth": 2},
+        "camera": {"type": "perspective", "fov": 60,
+                   "transform": [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, -3,
+                                 0, 0, 0, 1]},
+        "film": {"size": [16, 16]},
+        "bsdfs": [{"type": "diffuse", "name": "w"}],
+        "shapes": [{"type": "sphere", "name": "b", "radius": 0.5}],
+        "entities": [{"name": "b", "shape": "b", "bsdf": "w"}],
+        "lights": [{"type": "env", "name": "e", "radiance": 0.5}],
+    }
+    rt = ignis_tpu.loadFromString(json.dumps(scene))
+    rt.step()
+    assert "Normals" in rt.AOVs
+    nrm = rt.getFramebufferForHost("Normals")
+    assert nrm.shape == (16, 16, 3)
+    col = rt.getFramebufferForHost()
+    assert col.shape == (16, 16, 3) and np.isfinite(col).all()
+    # user-registered AOV round-trips and lands in the multilayer EXR
+    rt.registerAOV("MyPass", np.full((16, 16, 3), 0.25, np.float32))
+    assert "MyPass" in rt.AOVs
+    np.testing.assert_allclose(rt.getFramebufferForHost("MyPass"), 0.25)
+    out = tmp_path / "fb.exr"
+    rt.saveFramebuffer(str(out))
+    from ignis_tpu.utils.exr import read_exr
+    channels, _meta = read_exr(str(out))
+    assert any("MyPass" in k for k in channels)
+
+    # bake: uv.x ramp -> mean 0.5; checkerboard averages its two colors
+    img = bake_texture2d("vec3(uv.x, 0, 1)", 32, 16)
+    assert img.shape == (16, 32, 3)
+    np.testing.assert_allclose(img[..., 2], 1.0)
+    assert abs(img[..., 0].mean() - 0.5) < 0.02
+    avg = bake_texture_average("vec3(uv.x, uv.y, 0.25)", res=32)
+    np.testing.assert_allclose(avg, [0.5, 0.5, 0.25], atol=0.02)

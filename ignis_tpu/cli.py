@@ -32,6 +32,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--denoise", action="store_true",
                    help="AOV-guided denoise before writing the output")
     p.add_argument("--stats", action="store_true")
+    # device targeting (ProgramOptions --gpu/--cpu/--device/--threads)
+    p.add_argument("--target", choices=["auto", "tpu", "cpu"],
+                   default="auto",
+                   help="Backend platform (reference --gpu/--cpu analog)")
+    p.add_argument("--device", type=int, default=None,
+                   help="Device index within the platform")
     p.add_argument("--json", action="store_true",
                    help="Print one summary JSON line")
     # user parameter injection (ProgramOptions.cpp:151-235)
@@ -53,10 +59,25 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    import os
+    if args.target == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
+    if args.target == "cpu":
+        try:  # env alone loses to an axon sitecustomize that pins earlier
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     import jax.numpy as jnp
     from . import Runtime
     from .utils.image import save_image
+    if args.device is not None:
+        devs = jax.devices()
+        if not 0 <= args.device < len(devs):
+            print(f"error: --device {args.device} out of range "
+                  f"(have {len(devs)})", file=sys.stderr)
+            return 2
+        jax.config.update("jax_default_device", devs[args.device])
 
     overrides = {"spi": args.spi, "seed": args.seed}
     if args.width:

@@ -144,6 +144,14 @@ def _bvh_kernel(n_chunks: int, any_hit: bool,
         n_list = jnp.int32(0)
 
     # ---------------- phase 2: sweep recorded chunks -------------------
+    # NOTE on culling experiments (measured on diamond_scene in-situ, TPU
+    # v5e): re-testing each recorded chunk's AABB against the carried
+    # per-lane tmax with a cond/pl.when-predicated sweep made closest-hit
+    # 1.60 -> 1.19 Msamples/s, and an any-hit all-occluded early-exit
+    # while_loop made shadow traversal 1.60 -> 1.44 — the per-chunk scalar
+    # slab + reduce + branch costs more than the sweeps it skips once the
+    # walk has culled to the union of needed chunks. Both sweeps therefore
+    # run the recorded list straight.
     col = jax.lax.broadcasted_iota(jnp.int32, (nb, CHUNK), 1)
 
     def sweep(i, carry):

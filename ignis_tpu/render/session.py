@@ -448,7 +448,7 @@ class Runtime:
         with self.stats.section(section):
             if self.settings.technique in ("aept", "adaptive_env"):
                 img = self._step_aept()
-            elif (self.settings.technique in ("path", "pt")
+            elif (self.settings.technique in ("path", "pt", "volpath")
                   and not self.settings.remat
                   and os.environ.get("IGNIS_TPU_COMPACTION", "1") == "1"
                   and self.settings.width * self.settings.height

@@ -745,11 +745,32 @@ def _compiled_cascade(settings: RenderSettings, n: int):
     costs one reduction."""
     sizes = _bucket_chain(n)
     width = settings.width
+    # technique adapter: volpath shares the cascade machinery 1:1
+    if settings.technique in ("volpath",):
+        from .volpath import make_vol_bounce, vol_initial_state
+        make_bounce_fn = make_vol_bounce
+
+        def start_fn(scene, settings, x, y, iteration, frame):
+            from ..core.sampler import sample_pixel_offsets
+            from ..models import camera as cameralib
+            st0 = rnglib.seed(jnp.uint32(0), iteration.astype(jnp.uint32),
+                              frame.astype(jnp.uint32), x.astype(jnp.uint32),
+                              y.astype(jnp.uint32), jnp.uint32(settings.seed))
+            sample_idx = iteration.astype(jnp.uint32) \
+                * jnp.uint32(settings.spi)
+            st0, (rx, ry) = sample_pixel_offsets(settings.pixel_sampler,
+                                                 st0, sample_idx, x, y)
+            rays = cameralib.generate_rays(scene.camera, settings, x, y,
+                                           rx, ry, rng_state=st0)
+            return vol_initial_state(rays, st0)
+    else:
+        make_bounce_fn = make_bounce
+        start_fn = _start_state
 
     def fn(scene, x, y, iteration, frame):
         from ..models.texture import make_texture_evaluator
         ev = make_texture_evaluator(settings.texture_descs, scene.textures)
-        st = _start_state(scene, settings, x, y, iteration, frame)
+        st = start_fn(scene, settings, x, y, iteration, frame)
         film_r = jnp.zeros(n, jnp.float32)
         film_g = jnp.zeros(n, jnp.float32)
         film_b = jnp.zeros(n, jnp.float32)
@@ -758,8 +779,8 @@ def _compiled_cascade(settings: RenderSettings, n: int):
         for si, size in enumerate(sizes):
             last = si == len(sizes) - 1
             min_alive = 0 if last else size // SHRINK
-            bounce = make_bounce(scene, settings, (size,), ev,
-                                 regen=(px, py, iteration, frame))
+            bounce = make_bounce_fn(scene, settings, (size,), ev,
+                                    regen=(px, py, iteration, frame))
 
             def cond(carry, min_alive=min_alive):
                 it, s = carry

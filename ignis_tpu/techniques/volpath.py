@@ -47,23 +47,33 @@ class VolPathState(NamedTuple):
     med_g: jnp.ndarray
     alive: jnp.ndarray
     result: Color
+    depth: jnp.ndarray     # per-lane path depth (camera segment = 1)
+    sample: jnp.ndarray    # per-lane sample counter (regeneration)
 
 
-def volpath_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
-                  rng_state, eval_texture=None) -> Color:
+def vol_initial_state(rays: Rays, rng_state) -> VolPathState:
     n = rays.tmin.shape
-    n_lights = settings.n_lights
-    sel_pdf_const = 1.0 / max(n_lights, 1)
-
-    init = VolPathState(
+    return VolPathState(
         org=rays.org, dir=rays.dir, tmin=rays.tmin, tmax=rays.tmax,
         rng=rng_state, contrib=white(n), inv_pdf=jnp.zeros(n),
         eta=jnp.ones(n), medium=jnp.full(n, -1, jnp.int32),
         med_sa=black(n), med_ss=black(n), med_g=jnp.zeros(n),
-        alive=jnp.ones(n, bool), result=black(n))
+        alive=jnp.ones(n, bool), result=black(n),
+        depth=jnp.ones(n, jnp.int32), sample=jnp.zeros(n, jnp.int32))
+
+
+def make_vol_bounce(scene: SceneData, settings: RenderSettings, n,
+                    eval_texture=None, regen=None):
+    """Per-bounce volumetric wavefront step; with `regen` dead lanes
+    restart their pixel's next sample immediately (persistent-lane
+    wavefront, same contract as path.make_bounce)."""
+    n_lights = settings.n_lights
+    sel_pdf_const = 1.0 / max(n_lights, 1)
 
     def bounce(state: VolPathState, b):
-        rays_b = Rays(state.org, state.dir, state.tmin, state.tmax)
+        # Dead lanes: tmax < tmin culls their traversal at block level
+        rays_b = Rays(state.org, state.dir, state.tmin,
+                      jnp.where(state.alive, state.tmax, -1.0))
         hit = trace_scene(scene, rays_b)
         found = hit.prim >= 0
         result = state.result
@@ -134,7 +144,7 @@ def volpath_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
         result = _cadd_where(emit_ok, result, c_emit)
 
         rng = state.rng
-        depth = b + 1
+        depth = state.depth
         was_medium = state.inv_pdf < 0.0
 
         # ---- NEE from the surface -----------------------------------------
@@ -222,8 +232,59 @@ def volpath_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
             med_ss=cselect(cont & ~take_med, new_ss, state.med_ss),
             med_g=jnp.where(cont & ~take_med, new_g, state.med_g),
             alive=cont,
-            result=result)
+            result=result,
+            depth=state.depth + 1,
+            sample=state.sample)
+
+        if regen is not None:
+            x, y, iteration, frame = regen
+            died = state.alive & ~cont
+            has_more = state.sample + 1 < settings.spi
+            do_regen = died & has_more
+            new_sample = jnp.where(do_regen, state.sample + 1, state.sample)
+            fresh = rnglib.seed(new_sample.astype(jnp.uint32),
+                                iteration.astype(jnp.uint32),
+                                frame.astype(jnp.uint32),
+                                x.astype(jnp.uint32), y.astype(jnp.uint32),
+                                jnp.uint32(settings.seed))
+            from ..core.sampler import sample_pixel_offsets
+            sample_idx = iteration.astype(jnp.uint32) \
+                * jnp.uint32(settings.spi) + new_sample.astype(jnp.uint32)
+            fresh2, (rx, ry) = sample_pixel_offsets(settings.pixel_sampler,
+                                                    fresh, sample_idx, x, y)
+            from ..models import camera as cameralib
+            cam_rays = cameralib.generate_rays(scene.camera, settings, x, y,
+                                               rx, ry, rng_state=fresh2)
+            zero = jnp.zeros(n)
+            new_state = VolPathState(
+                org=vselect(do_regen, cam_rays.org, new_state.org),
+                dir=vselect(do_regen, cam_rays.dir, new_state.dir),
+                tmin=jnp.where(do_regen, cam_rays.tmin, new_state.tmin),
+                tmax=jnp.where(do_regen, cam_rays.tmax, new_state.tmax),
+                rng=jnp.where(do_regen, fresh2, new_state.rng),
+                contrib=cselect(do_regen, white(n), new_state.contrib),
+                inv_pdf=jnp.where(do_regen, 0.0, new_state.inv_pdf),
+                eta=jnp.where(do_regen, 1.0, new_state.eta),
+                medium=jnp.where(do_regen, -1, new_state.medium),
+                med_sa=cselect(do_regen, Color(zero, zero, zero),
+                               new_state.med_sa),
+                med_ss=cselect(do_regen, Color(zero, zero, zero),
+                               new_state.med_ss),
+                med_g=jnp.where(do_regen, 0.0, new_state.med_g),
+                alive=cont | do_regen,
+                result=result,
+                depth=jnp.where(do_regen, 1, new_state.depth),
+                sample=new_sample)
         return new_state, None
+
+    return bounce
+
+
+def volpath_trace(scene: SceneData, settings: RenderSettings, rays: Rays,
+                  rng_state, eval_texture=None) -> Color:
+    n = rays.tmin.shape
+    init = vol_initial_state(rays, rng_state)
+    bounce = make_vol_bounce(scene, settings, n, eval_texture)
 
     if settings.remat:
         bounce_ckpt = jax.checkpoint(bounce, prevent_cse=False)

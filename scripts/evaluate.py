@@ -84,18 +84,20 @@ def find_reference(name: str):
 
 
 def rel_mse(img, ref, outlier_fraction=1e-3):
-    """Robust relative MSE: drop the top 0.1% per-pixel errors. Specular
-    light images (e.g. a radiance-10^4 sphere seen through a mirror) shift
-    by subpixel amounts between renderers and would otherwise dominate the
-    whole-image metric."""
+    """Relative MSE, returned both UNTRIMMED (the reference harness's
+    metric) and with the top 0.1% per-pixel errors dropped (robust variant:
+    specular light images, e.g. a radiance-10^4 sphere seen through a
+    mirror, shift by subpixel amounts between renderers and would
+    otherwise dominate the whole-image metric). Returns (untrimmed,
+    robust)."""
     d = img - ref
     per_pixel = np.mean(d * d / (ref * ref + 1e-2), axis=-1).reshape(-1)
     per_pixel = per_pixel[np.isfinite(per_pixel)]
     if per_pixel.size == 0:
-        return float("nan")
+        return float("nan"), float("nan")
     k = max(1, int(per_pixel.size * outlier_fraction))
     trimmed = np.sort(per_pixel)[:-k]
-    return float(trimmed.mean())
+    return float(per_pixel.mean()), float(trimmed.mean())
 
 
 def evaluate_scene(name: str, spp: int, out_dir: Path | None):
@@ -141,6 +143,8 @@ def main():
     ap.add_argument("--scenes", nargs="*", default=DEFAULT_SCENES)
     ap.add_argument("--out", type=str, default="")
     ap.add_argument("--threshold", type=float, default=0.01)
+    ap.add_argument("--untrimmed", action="store_true",
+                    help="judge on the raw (untrimmed) relMSE")
     args = ap.parse_args()
 
     out_dir = Path(args.out) if args.out else None
@@ -155,9 +159,12 @@ def main():
         if note:
             print(f"{name:32s} SKIP ({note})")
             continue
-        verdict = "ok" if err < args.threshold else "FAIL"
-        print(f"{name:32s} relMSE={err:.5f}  {wall:6.1f}s  {verdict}")
-        results.append((name, err))
+        raw, robust = err
+        use = raw if args.untrimmed else robust
+        verdict = "ok" if use < args.threshold else "FAIL"
+        print(f"{name:32s} relMSE={raw:.5f} (robust {robust:.5f})  "
+              f"{wall:6.1f}s  {verdict}")
+        results.append((name, use))
 
     errs = [e for _, e in results if e is not None]
     n_fail = sum(1 for e in errs if e >= args.threshold)

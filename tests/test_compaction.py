@@ -83,3 +83,45 @@ def test_step_gate_matches(monkeypatch):
     rt2.step()
     off = np.asarray(rt2.framebuffer())
     np.testing.assert_allclose(on, off, rtol=2e-4, atol=2e-5)
+
+
+VOL_SCENE = {
+    "technique": {"type": "volpath", "max_depth": 8},
+    "camera": {"type": "perspective", "fov": 60,
+               "transform": [-1, 0, 0, 0, 0, 1, 0, 0, 0, 0, -1, 3.85,
+                             0, 0, 0, 1]},
+    "film": {"size": [64, 64]},
+    "bsdfs": [{"type": "diffuse", "name": "w",
+               "reflectance": [0.7, 0.7, 0.7]},
+              {"type": "dielectric", "name": "glass", "int_ior": 1.1}],
+    "media": [{"type": "homogeneous", "name": "fog",
+               "sigma_a": [0.1, 0.1, 0.1], "sigma_s": [0.6, 0.6, 0.6],
+               "g": 0.2}],
+    "shapes": [{"type": "rectangle", "name": "floor", "width": 6,
+                "height": 6},
+               {"type": "icosphere", "name": "ball", "radius": 0.8,
+                "subdivisions": 3}],
+    "entities": [
+        {"name": "floor", "shape": "floor", "bsdf": "w",
+         "transform": [{"rotate": [-90, 0, 0]}, {"translate": [0, -1, 0]}]},
+        {"name": "ball", "shape": "ball", "bsdf": "glass",
+         "inner_medium": "fog"}],
+    "lights": [{"type": "point", "name": "l", "position": [2, 3, 2],
+                "power": 60},
+               {"type": "env", "name": "e", "radiance": [0.2, 0.25, 0.3]}],
+}
+
+
+def test_volpath_rounds_match(monkeypatch):
+    """The volumetric wavefront shares the cascade machinery; same
+    (pixel,sample) RNG streams -> same image."""
+    from ignis_tpu.techniques import path as pathlib_
+    monkeypatch.setattr(pathlib_, "MIN_BUCKET", 256)
+    pathlib_._compiled_cascade.cache_clear()
+    rt = ignis_tpu.loadFromString(json.dumps(VOL_SCENE), spi=4)
+    ref = np.asarray(render_iteration(rt.scene, rt.settings, jnp.uint32(0),
+                                      jnp.uint32(0)))
+    got = np.asarray(_render_iteration_compacting(
+        rt.scene, rt.settings, jnp.uint32(0), jnp.uint32(0)))
+    assert np.isfinite(got).all() and got.mean() > 0.01
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)

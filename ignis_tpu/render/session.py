@@ -712,6 +712,46 @@ class Runtime:
             img = img / self._iteration
         return img
 
+    # -- checkpoint/resume (SURVEY.md §5: progressive state for long
+    #    renders / differentiable optimizations; the reference's resume
+    #    model is film accumulation + EXR metadata, Runtime.cpp:856) ------
+    def saveCheckpoint(self, path) -> None:
+        """Serialize the progressive render state: accumulated film,
+        iteration/frame/sample counters, and live registry parameters.
+        Resuming from this file continues the exact same sample sequence
+        (RNG streams are keyed by (sample, iteration, frame, pixel))."""
+        reg = {}
+        if getattr(self.scene, "registry", None):
+            reg = {k: np.asarray(v) for k, v in self.scene.registry.items()}
+        np.savez(
+            path,
+            film=(np.asarray(self._film) if self._film is not None
+                  else np.zeros(0, np.float32)),
+            iteration=self._iteration, frame=self._frame,
+            sample_count=self._sample_count,
+            seed=self.settings.seed,
+            registry_names=np.array(list(reg), dtype=object),
+            **{f"reg_{k}": v for k, v in reg.items()})
+
+    def loadCheckpoint(self, path) -> "Runtime":
+        """Restore state saved by saveCheckpoint into this (same-scene)
+        session."""
+        with np.load(path, allow_pickle=True) as z:
+            film = z["film"]
+            self._film = jnp.asarray(film) if film.size else None
+            self._iteration = int(z["iteration"])
+            self._frame = int(z["frame"])
+            self._sample_count = int(z["sample_count"])
+            if int(z["seed"]) != int(self.settings.seed):
+                from ..utils.logger import logger
+                logger.warning(
+                    f"checkpoint seed {int(z['seed'])} != scene seed "
+                    f"{self.settings.seed}; sample streams will differ")
+            for k in z["registry_names"]:
+                self.setParameter(str(k), np.asarray(z[f"reg_{k}"]).tolist())
+        self._refresh_parameters()
+        return self
+
     def dumpShader(self, path=None, full: bool = False) -> str:
         """DumpShader/DumpShaderFull analog (reference Runtime.cpp:663):
         the reference dumps the generated Artic shader source per variant;

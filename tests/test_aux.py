@@ -126,3 +126,43 @@ def test_aov_registry_and_bake(tmp_path):
     assert abs(img[..., 0].mean() - 0.5) < 0.02
     avg = bake_texture_average("vec3(uv.x, uv.y, 0.25)", res=32)
     np.testing.assert_allclose(avg, [0.5, 0.5, 0.25], atol=0.02)
+
+
+def test_checkpoint_resume_bitwise(tmp_path):
+    """saveCheckpoint/loadCheckpoint: resuming continues the exact sample
+    sequence (film accumulation + counters + registry;
+    SURVEY.md §5 checkpoint/resume)."""
+    import json
+
+    import numpy as np
+
+    import ignis_tpu
+
+    scene = {
+        "technique": {"type": "path", "max_depth": 3},
+        "camera": {"type": "perspective", "fov": 60,
+                   "transform": [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, -3,
+                                 0, 0, 0, 1]},
+        "film": {"size": [24, 24]},
+        "bsdfs": [{"type": "diffuse", "name": "w"}],
+        "shapes": [{"type": "sphere", "name": "b", "radius": 0.5}],
+        "entities": [{"name": "b", "shape": "b", "bsdf": "w"}],
+        "lights": [{"type": "point", "name": "l", "position": [1, 2, 2],
+                    "power": 20},
+                   {"type": "env", "name": "e", "radiance": 0.4}],
+    }
+    txt = json.dumps(scene)
+    ck = tmp_path / "state.npz"
+
+    rt = ignis_tpu.loadFromString(txt, spi=1)
+    rt.step().step()
+    rt.saveCheckpoint(str(ck))
+    rt.step().step()
+    want = rt.framebuffer()
+    assert rt.iteration_count == 4
+
+    rt2 = ignis_tpu.loadFromString(txt, spi=1)
+    rt2.loadCheckpoint(str(ck))
+    assert rt2.iteration_count == 2
+    rt2.step().step()
+    np.testing.assert_array_equal(rt2.framebuffer(), want)

@@ -41,6 +41,52 @@ def _replicated(mesh: Mesh):
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "mesh"))
+def render_iteration_sharded_compact(scene: SceneData,
+                                     settings: RenderSettings,
+                                     iteration, frame, mesh: Mesh):
+    """Compacting-cascade render sharded with shard_map: lanes split over
+    the "rays" axis, scene replicated, and EACH CHIP runs the full
+    shrinking-bucket cascade on its own lane slice (compaction is local —
+    zero collectives until the final film all-gather). This is the
+    multi-chip production path for the path/volpath techniques; the
+    per-shard program is identical to the single-device cascade."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..render.session import _tiled_lane_coords
+    from ..techniques.path import cascade_lane_fn
+
+    w, h = settings.width, settings.height
+    n = h * w
+    nd = int(np.prod(mesh.devices.shape))
+    assert n % nd == 0, f"film lanes {n} not divisible by {nd} devices"
+    x, y = _tiled_lane_coords(w, h)
+    fn = cascade_lane_fn(settings, n // nd)
+
+    def worker(scene_, x_, y_, it_, fr_):
+        r, g, b = fn(scene_, x_, y_, it_, fr_)
+        return jnp.stack([r, g, b], axis=-1)
+
+    # check_rep=False: the cascade's scan carries mix replicated-initialized
+    # accumulators with per-lane (varying) updates, which the replication
+    # checker flags even though the program is correct per-shard
+    out = shard_map(worker, mesh=mesh,
+                    in_specs=(P(), P("rays"), P("rays"), P(), P()),
+                    out_specs=P("rays"), check_rep=False)(
+        scene, jnp.asarray(x), jnp.asarray(y),
+        jnp.asarray(iteration, jnp.uint32), jnp.asarray(frame, jnp.uint32))
+    inv = 1.0 / settings.spi
+    TILE = 32
+    if (w % TILE == 0) and (h % TILE == 0):
+        def untile(a):
+            return a.reshape(h // TILE, w // TILE, TILE, TILE, 3) \
+                .transpose(0, 2, 1, 3, 4).reshape(h, w, 3)
+    else:
+        untile = lambda a: a.reshape(h, w, 3)
+    img = untile(out) * inv
+    return jax.lax.with_sharding_constraint(img, _replicated(mesh))
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "mesh"))
 def render_iteration_sharded(scene: SceneData, settings: RenderSettings,
                              iteration, frame, mesh: Mesh):
     """Sharded analog of render.session.render_iteration.

@@ -172,9 +172,16 @@ def _render_iteration_compacting(scene: SceneData, settings: RenderSettings,
     color = path_trace_rounds(scene, settings, jnp.asarray(x), jnp.asarray(y),
                               jnp.uint32(iteration), jnp.uint32(frame))
     inv = 1.0 / settings.spi
-    # path_trace_rounds scatters by pixel id (y*w + x): already row-major
-    return jnp.stack([color.r.reshape(h, w), color.g.reshape(h, w),
-                      color.b.reshape(h, w)], axis=-1) * inv
+    # path_trace_rounds returns lane-order radiance; undo the tiling
+    TILE = 32
+    if (w % TILE == 0) and (h % TILE == 0):
+        def untile(a):
+            return a.reshape(h // TILE, w // TILE, TILE, TILE) \
+                .transpose(0, 2, 1, 3).reshape(h, w)
+    else:
+        untile = lambda a: a.reshape(h, w)
+    return jnp.stack([untile(color.r), untile(color.g),
+                      untile(color.b)], axis=-1) * inv
 
 
 def _render_iteration_impl(scene: SceneData, settings: RenderSettings,
@@ -711,6 +718,17 @@ class Runtime:
         if normalized and self._iteration > 0:
             img = img / self._iteration
         return img
+
+    def startProfilerTrace(self, log_dir: str) -> None:
+        """Begin a device profiler capture (reference --stats/--full-stats
+        per-stage timing analog at full fidelity: per-HLO-op device times,
+        viewable in TensorBoard / parsed from the .trace.json.gz)."""
+        jax.profiler.start_trace(log_dir)
+        self._trace_dir = log_dir
+
+    def stopProfilerTrace(self) -> str:
+        jax.profiler.stop_trace()
+        return getattr(self, "_trace_dir", "")
 
     # -- checkpoint/resume (SURVEY.md §5: progressive state for long
     #    renders / differentiable optimizations; the reference's resume

@@ -730,8 +730,9 @@ def _bucket_chain(n: int):
 
 
 @_functools.lru_cache(maxsize=32)
-def _compiled_cascade(settings: RenderSettings, n: int):
-    """The full compacting render as ONE jitted program (zero host syncs —
+def cascade_lane_fn(settings: RenderSettings, n: int):
+    """The full compacting render as one traceable function (zero host
+    syncs —
     on tunneled TPU backends every device->host fetch costs ~0.1 s, which
     ate the host-orchestrated variant's entire win).
 
@@ -776,6 +777,11 @@ def _compiled_cascade(settings: RenderSettings, n: int):
         film_b = jnp.zeros(n, jnp.float32)
         budget = jnp.int32(settings.spi * settings.max_depth)
         px, py = x, y
+        # fold target: the lane's ORIGINAL index, so the output is in x's
+        # lane order regardless of compaction (and the whole body stays
+        # valid per-shard under shard_map — each chip compacts its own
+        # lanes, no cross-device traffic)
+        l0 = jnp.arange(n, dtype=jnp.int32)
         for si, size in enumerate(sizes):
             last = si == len(sizes) - 1
             min_alive = 0 if last else size // SHRINK
@@ -796,23 +802,27 @@ def _compiled_cascade(settings: RenderSettings, n: int):
             budget = budget - it_done
 
             # fold this stage's radiance into the film, then compact
-            pid = py * width + px
-            film_r = film_r.at[pid].add(st.result.r)
-            film_g = film_g.at[pid].add(st.result.g)
-            film_b = film_b.at[pid].add(st.result.b)
+            film_r = film_r.at[l0].add(st.result.r)
+            film_g = film_g.at[l0].add(st.result.g)
+            film_b = film_b.at[l0].add(st.result.b)
             if not last:
                 st = st._replace(result=black((size,)))
                 order = jnp.argsort(~st.alive)[:size // SHRINK]
                 st = jax.tree_util.tree_map(lambda a: a[order], st)
-                px, py = px[order], py[order]
+                px, py, l0 = px[order], py[order], l0[order]
         return film_r, film_g, film_b
-    return jax.jit(fn)
+    return fn
+
+
+@_functools.lru_cache(maxsize=32)
+def _compiled_cascade(settings: RenderSettings, n: int):
+    return jax.jit(cascade_lane_fn(settings, n))
 
 
 def path_trace_rounds(scene: SceneData, settings: RenderSettings, x, y,
                       iteration, frame) -> Color:
-    """Compacting progressive render. Returns per-PIXEL radiance summed
-    over all spi samples, indexed by row-major pixel id (y * width + x)."""
+    """Compacting progressive render. Returns per-lane radiance summed
+    over all spi samples, in x's lane order."""
     n = int(x.shape[0])
     film_r, film_g, film_b = _compiled_cascade(settings, n)(
         scene, x, y, iteration, frame)

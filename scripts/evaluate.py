@@ -145,7 +145,40 @@ def main():
     ap.add_argument("--threshold", type=float, default=0.01)
     ap.add_argument("--untrimmed", action="store_true",
                     help="judge on the raw (untrimmed) relMSE")
+    ap.add_argument("--isolate", type=int, default=0, metavar="SECONDS",
+                    help="run each scene in its own subprocess with this "
+                         "timeout (hung-device resilience)")
     args = ap.parse_args()
+
+    if args.isolate:
+        import subprocess
+        ok = fail = err = 0
+        for name in args.scenes:
+            cmd = [sys.executable, "-u", __file__, "--spp", str(args.spp),
+                   "--threshold", str(args.threshold), "--scenes", name]
+            if args.untrimmed:
+                cmd.append("--untrimmed")
+            if args.out:
+                cmd += ["--out", args.out]
+            try:
+                r = subprocess.run(cmd, capture_output=True, text=True,
+                                   timeout=args.isolate)
+                for line in r.stdout.splitlines():
+                    if name in line and ("relMSE" in line or "SKIP" in line
+                                         or "ERROR" in line):
+                        print(line, flush=True)
+                        if " ok" in line:
+                            ok += 1
+                        elif "FAIL" in line:
+                            fail += 1
+                        elif "ERROR" in line:
+                            err += 1
+            except subprocess.TimeoutExpired:
+                print(f"{name:32s} TIMEOUT (> {args.isolate}s)", flush=True)
+                err += 1
+        print(f"\n{ok}/{ok + fail + err} passed "
+              f"({fail} over threshold, {err} errored/timed out)")
+        return 1 if (fail or err) else 0
 
     out_dir = Path(args.out) if args.out else None
     results = []

@@ -113,3 +113,23 @@ def test_tonemap_ops():
     assert float(info.max) <= 4.0 + 1e-5
     assert int(info.nan_count) == 0
     assert info.histogram.shape == (4, 64)
+
+
+def test_sharded_compact_matches_single():
+    """shard_map compacting cascade (per-chip local compaction) must match
+    the single-device cascade and the plain sharded render."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    import ignis_tpu
+    from ignis_tpu.parallel.mesh import render_iteration_sharded_compact
+    from ignis_tpu.render.session import _render_iteration_compacting
+
+    sc = small_scene()
+    sc["film"] = {"size": [64, 64]}   # 4096 lanes = 512/device on 8
+    rt = ignis_tpu.loadFromString(json.dumps(sc))
+    mesh = make_mesh()
+    img_sh = np.asarray(render_iteration_sharded_compact(
+        rt.scene, rt.settings, jnp.uint32(0), jnp.uint32(0), mesh))
+    img_1 = np.asarray(_render_iteration_compacting(
+        rt.scene, rt.settings, jnp.uint32(0), jnp.uint32(0)))
+    np.testing.assert_allclose(img_sh, img_1, rtol=2e-4, atol=2e-5)

@@ -68,6 +68,22 @@ def main(argv=None) -> int:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
+    elif args.target == "tpu":
+        # actually select the TPU backend — and error rather than silently
+        # render on CPU when no TPU is attached
+        try:
+            tpus = [d for d in jax.devices()
+                    if d.platform not in ("cpu",)]
+        except Exception:
+            tpus = []
+        if not tpus:
+            print("error: --target tpu requested but no TPU/accelerator "
+                  "devices are available", file=sys.stderr)
+            return 2
+        try:
+            jax.config.update("jax_default_device", tpus[0])
+        except Exception:
+            pass
     import jax.numpy as jnp
     from . import Runtime
     from .utils.image import save_image

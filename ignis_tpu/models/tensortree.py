@@ -5,7 +5,11 @@ The variable-depth tensor tree was baked to dense grids at load time
 parameter square (3D isotropic / 4D anisotropic). Frame and sampling follow
 the Klems model (cosine hemisphere + side pick by component totals), which
 is also what the reference ships (tensortree.art:308, "TODO: Add proper
-sampling!"). Peak extraction (use_peakextraction) is not implemented.
+sampling!"). Peak extraction (peakExtraction) mirrors the shipped reference
+semantics; since the reference kernel's projected solid angle is the
+constant pi (tensortree.art:125), the peak can only ever fire for
+degenerate depth-0 trees — that predicate is evaluated statically at load
+(from_numpy) so deeper trees pay zero per-lane probe cost.
 """
 from __future__ import annotations
 
@@ -28,8 +32,10 @@ class TensorTreeData(NamedTuple):
     back_reflection: TTComponentData
     front_transmission: TTComponentData
     back_transmission: TTComponentData
-    # 'peakExtraction' property (default true); stored as a 0/1 f32 leaf so
-    # the pytree stays jit-traceable (used via jnp.where, never `if`)
+    # 'peakExtraction' property (default true). None means the peak check
+    # can NEVER fire for this tree (decided statically in from_numpy); a
+    # pytree None is an empty static node, so `tt.use_peak is None` is a
+    # trace-time branch that skips the 29-probe scan entirely.
     use_peak: jnp.ndarray = None
 
 
@@ -37,11 +43,20 @@ def from_numpy(t, use_peak: bool = True) -> TensorTreeData:
     def comp(c):
         return TTComponentData(jnp.asarray(c.grid), jnp.float32(c.total),
                                jnp.float32(getattr(c, "min_proj_sa", 3.1416)))
+    # Static "can the peak ever fire" predicate: the eval kernel's proj_sa
+    # is the constant pi, so every probe classifies as 'surrounding' unless
+    # pi <= 1.5 * min_proj_sa, i.e. min_proj_sa >= 2pi/3 — only true for
+    # depth-0 trees (min_proj_sa = pi/4^depth). Checked against the two
+    # transmission components _peak_by_side actually probes.
+    thresh = 2.0 * 3.14159265 / 3.0 - 1e-5
+    can_fire = use_peak and (
+        float(getattr(t.front_transmission, "min_proj_sa", 3.1416)) >= thresh
+        or float(getattr(t.back_transmission, "min_proj_sa", 3.1416)) >= thresh)
     return TensorTreeData(comp(t.front_reflection),
                           comp(t.back_reflection),
                           comp(t.front_transmission),
                           comp(t.back_transmission),
-                          jnp.float32(1.0 if use_peak else 0.0))
+                          jnp.float32(1.0) if can_fire else None)
 
 
 def _disk_to_square(x, y):
@@ -148,7 +163,7 @@ def _check_peak_transmission(tt: TensorTreeData, comp: TTComponentData,
         om_peak = om_peak + jnp.where(surr, 0.0, proj_sa)
         peak_count = peak_count + jnp.where(surr, 0.0, 1.0)
     ok = ~((om_surr < 0.2 * om_peak) | (peak_lum < 0.005))
-    return ok & (tt.use_peak > 0.5)
+    return ok
 
 
 def _refl_prob(tt: TensorTreeData, wo_z):
@@ -171,7 +186,11 @@ def _peak_by_side(tt: TensorTreeData, wo: Vec3):
     """Peak check against the outgoing side's transmission component
     (get_refl_prob pairing, tensortree.art:271): wo front -> back
     transmission, wo back -> front transmission. Evaluated for both sides
-    and lane-selected (grids may differ in shape)."""
+    and lane-selected (grids may differ in shape). Statically skipped
+    (zero probe evals emitted) when from_numpy proved the peak can never
+    fire — use_peak is None then."""
+    if tt.use_peak is None:
+        return jnp.zeros(wo.x.shape, bool)
     pk_b = _check_peak_transmission(tt, tt.back_transmission, wo)
     pk_f = _check_peak_transmission(tt, tt.front_transmission, wo)
     return jnp.where(wo.z > 0, pk_b, pk_f)

@@ -76,10 +76,11 @@ def render_distributed(scene, settings, mesh, iteration, frame):
     import jax
     import jax.numpy as jnp
 
-    from .mesh import render_iteration_sharded
+    from .mesh import render_iteration_sharded_compact
 
-    img = render_iteration_sharded(scene, settings, jnp.uint32(iteration),
-                                   jnp.uint32(frame), mesh)
+    img = render_iteration_sharded_compact(scene, settings,
+                                           jnp.uint32(iteration),
+                                           jnp.uint32(frame), mesh)
     if jax.process_count() == 1:
         return np.asarray(img)
     return np.asarray(img.addressable_data(0))
@@ -128,7 +129,7 @@ def scaling_report(build_runtime, device_counts=(1, 2, 4, 8),
     import jax
     import jax.numpy as jnp
 
-    from .mesh import make_mesh, render_iteration_sharded
+    from .mesh import make_mesh, render_iteration_sharded_compact
 
     rt = build_runtime()
     n_samples = rt.settings.width * rt.settings.height * rt.settings.spi
@@ -137,14 +138,15 @@ def scaling_report(build_runtime, device_counts=(1, 2, 4, 8),
         if nd > len(jax.devices()):
             break
         mesh = make_mesh(n_devices=nd)
-        img = render_iteration_sharded(rt.scene, rt.settings, jnp.uint32(0),
-                                       jnp.uint32(0), mesh)
+        img = render_iteration_sharded_compact(rt.scene, rt.settings,
+                                                jnp.uint32(0),
+                                                jnp.uint32(0), mesh)
         float(jnp.sum(img))  # compile + warm (D2H forces real sync)
         t0 = time.perf_counter()
         for i in range(iters):
-            img = render_iteration_sharded(rt.scene, rt.settings,
-                                           jnp.uint32(i + 1), jnp.uint32(0),
-                                           mesh)
+            img = render_iteration_sharded_compact(
+                rt.scene, rt.settings, jnp.uint32(i + 1), jnp.uint32(0),
+                mesh)
             float(jnp.sum(img))
         dt = (time.perf_counter() - t0) / iters
         out[nd] = n_samples / dt / 1e6
@@ -171,7 +173,7 @@ sys.path.insert(0, sys.argv[3])
 import json
 import jax, jax.numpy as jnp
 import ignis_tpu
-from ignis_tpu.parallel.mesh import make_mesh, render_iteration_sharded
+from ignis_tpu.parallel.mesh import make_mesh, render_iteration_sharded_compact
 from __graft_entry__ import _SCENE
 scene = dict(_SCENE)
 # weak scaling: per-device film rows held constant
@@ -179,21 +181,22 @@ rows = int(sys.argv[2])
 scene["film"] = {"size": [128, rows * nd]}
 rt = ignis_tpu.loadFromString(json.dumps(scene), spi=2)
 mesh = make_mesh(n_devices=nd)
-img = render_iteration_sharded(rt.scene, rt.settings, jnp.uint32(0),
-                               jnp.uint32(0), mesh)
+img = render_iteration_sharded_compact(rt.scene, rt.settings, jnp.uint32(0),
+                                       jnp.uint32(0), mesh)
 float(jnp.sum(img))
 times = []
 for i in range(3):
     t0 = time.perf_counter()
-    img = render_iteration_sharded(rt.scene, rt.settings, jnp.uint32(i + 1),
-                                   jnp.uint32(0), mesh)
+    img = render_iteration_sharded_compact(rt.scene, rt.settings,
+                                           jnp.uint32(i + 1),
+                                           jnp.uint32(0), mesh)
     float(jnp.sum(img))
     times.append(time.perf_counter() - t0)
 print("WEAK_RESULT", min(times))
 """
 
 
-def pinned_weak_scaling(rows_per_device: int = 192) -> dict:
+def pinned_weak_scaling(rows_per_device: int = 384) -> dict:
     """Weak scaling with one pinned physical core per device: subprocess
     per device count, `taskset -c 0..nd-1`, total work proportional to nd.
     Efficiency = t(1)/t(N) (ideal 1.0). Honest up to the host core count."""

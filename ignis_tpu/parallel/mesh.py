@@ -26,6 +26,14 @@ from ..scenedata import RenderSettings, SceneData
 from ..techniques import dispatch_technique
 
 
+def _shard_map(f, mesh, in_specs, out_specs):
+    """jax.shard_map with replication checking off (the cascade mixes
+    replicated-initialized accumulators with per-lane updates, which the
+    checker flags even though the per-shard program is correct)."""
+    return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+
+
 def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()[:n_devices] if n_devices else jax.devices()
@@ -50,8 +58,6 @@ def render_iteration_sharded_compact(scene: SceneData,
     zero collectives until the final film all-gather). This is the
     multi-chip production path for the path/volpath techniques; the
     per-shard program is identical to the single-device cascade."""
-    from jax.experimental.shard_map import shard_map
-
     from ..render.session import _tiled_lane_coords
     from ..techniques.path import cascade_lane_fn
 
@@ -66,12 +72,12 @@ def render_iteration_sharded_compact(scene: SceneData,
         r, g, b = fn(scene_, x_, y_, it_, fr_)
         return jnp.stack([r, g, b], axis=-1)
 
-    # check_rep=False: the cascade's scan carries mix replicated-initialized
+    # check_vma=False: the cascade's scan carries mix replicated-initialized
     # accumulators with per-lane (varying) updates, which the replication
     # checker flags even though the program is correct per-shard
-    out = shard_map(worker, mesh=mesh,
-                    in_specs=(P(), P("rays"), P("rays"), P(), P()),
-                    out_specs=P("rays"), check_rep=False)(
+    out = _shard_map(worker, mesh=mesh,
+                     in_specs=(P(), P("rays"), P("rays"), P(), P()),
+                     out_specs=P("rays"))(
         scene, jnp.asarray(x), jnp.asarray(y),
         jnp.asarray(iteration, jnp.uint32), jnp.asarray(frame, jnp.uint32))
     inv = 1.0 / settings.spi

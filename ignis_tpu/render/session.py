@@ -32,6 +32,13 @@ except Exception:  # pragma: no cover - cache is best-effort
 
 from ..core import rng as rnglib
 from ..models import camera as cameralib
+
+
+def _ckpt_path(path) -> str:
+    """np.savez appends '.npz' when missing; normalize save AND load the
+    same way so saveCheckpoint('ckpt') / loadCheckpoint('ckpt') agree."""
+    p = str(path)
+    return p if p.endswith(".npz") else p + ".npz"
 from ..ops.intersect import Rays
 from ..scene.build import BuiltScene, build_scene
 from ..scene.parser import load_from_file, load_from_string
@@ -620,8 +627,9 @@ class Runtime:
     #    python getFramebufferForHost(aov)) --------------------------------
     @property
     def AOVs(self) -> list:
-        """Names of available AOV layers (reference Runtime::aovs)."""
-        return list(self.render_aovs().keys()) + list(self._user_aovs)
+        """Names of available AOV layers (reference Runtime::aovs).
+        Static — enumerating layers never triggers a render."""
+        return ["Normals", "Albedo", "Depth"] + list(self._user_aovs)
 
     def registerAOV(self, name: str, image) -> None:
         """Publish a user AOV layer (RenderPass outputs, custom buffers).
@@ -639,10 +647,9 @@ class Runtime:
         if aov in self._user_aovs:
             img = self._user_aovs[aov]
         else:
-            layers = self.render_aovs()
-            if aov not in layers:
+            if aov not in ("Normals", "Albedo", "Depth"):
                 raise KeyError(f"unknown AOV '{aov}' (have {self.AOVs})")
-            img = layers[aov]
+            img = self.render_aovs()[aov]
         if img.ndim == 2:
             img = np.stack([img, img, img], axis=-1)
         return np.asarray(img, np.float32)
@@ -742,19 +749,20 @@ class Runtime:
         if getattr(self.scene, "registry", None):
             reg = {k: np.asarray(v) for k, v in self.scene.registry.items()}
         np.savez(
-            path,
+            _ckpt_path(path),
             film=(np.asarray(self._film) if self._film is not None
                   else np.zeros(0, np.float32)),
             iteration=self._iteration, frame=self._frame,
             sample_count=self._sample_count,
             seed=self.settings.seed,
-            registry_names=np.array(list(reg), dtype=object),
+            # unicode dtype, NOT object: loading must never need pickle
+            registry_names=np.array(list(reg), dtype="U"),
             **{f"reg_{k}": v for k, v in reg.items()})
 
     def loadCheckpoint(self, path) -> "Runtime":
         """Restore state saved by saveCheckpoint into this (same-scene)
-        session."""
-        with np.load(path, allow_pickle=True) as z:
+        session. Pickle-free: checkpoints are plain-array .npz."""
+        with np.load(_ckpt_path(path)) as z:
             film = z["film"]
             self._film = jnp.asarray(film) if film.size else None
             self._iteration = int(z["iteration"])

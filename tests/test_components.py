@@ -382,10 +382,12 @@ def test_tensortree_peak_extraction_semantics():
     probe (tensortree.art:125), so for any tree deeper than level 0 every
     probe classifies as 'surrounding' and no peak fires; only a degenerate
     depth-0 (uniform) component can report a peak. Mirror both cases."""
+    import jax
     import jax.numpy as jnp
     from ignis_tpu.core.vec import Vec3
     from ignis_tpu.models.tensortree import (TTComponentData, TensorTreeData,
-                                             _check_peak_transmission)
+                                             _check_peak_transmission,
+                                             _peak_by_side, from_numpy)
 
     wo = Vec3(jnp.full((4,), 0.3), jnp.full((4,), 0.1), jnp.full((4,), 0.9))
 
@@ -405,7 +407,35 @@ def test_tensortree_peak_extraction_semantics():
     ok2 = np.asarray(_check_peak_transmission(tt_of(flat), flat, wo))
     assert not ok2.any()
 
-    # use_peak=0 disables the check entirely
-    tt_off = TensorTreeData(deep, deep, deep, deep, jnp.float32(0.0))
-    assert not np.asarray(
-        _check_peak_transmission(tt_off, deep, wo)).any()
+    # deep trees get the static skip: from_numpy proves the peak can never
+    # fire (proj_sa = pi constant vs min_proj_sa <= pi/4) and sets
+    # use_peak=None, so _peak_by_side emits ZERO grid probes.
+    class _C:
+        pass
+
+    def comp_np(msa):
+        c = _C()
+        c.grid = np.full((2, 2, 2), 0.8, np.float32)
+        c.total = 1.0
+        c.min_proj_sa = msa
+        return c
+
+    t = _C()
+    t.front_reflection = comp_np(np.pi / 4)
+    t.back_reflection = comp_np(np.pi / 4)
+    t.front_transmission = comp_np(np.pi / 4)
+    t.back_transmission = comp_np(np.pi / 4)
+    tt_deep = from_numpy(t, use_peak=True)
+    assert tt_deep.use_peak is None
+    assert not np.asarray(_peak_by_side(tt_deep, wo)).any()
+    # ...and the jaxpr contains no gather/probe work (pure zeros)
+    jpr = str(jax.make_jaxpr(lambda w: _peak_by_side(tt_deep, w))(wo))
+    assert "gather" not in jpr
+
+    # depth-0 transmission keeps the machinery live
+    t.front_transmission = comp_np(np.pi)
+    tt_flat = from_numpy(t, use_peak=True)
+    assert tt_flat.use_peak is not None
+
+    # peakExtraction=false disables statically too
+    assert from_numpy(t, use_peak=False).use_peak is None

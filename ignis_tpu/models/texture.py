@@ -265,7 +265,8 @@ def make_shade_ctx(uv: Vec2, point=None, normal=None, face_normal=None,
                    ray_dir=None, ray_org=None, prim_coords=None,
                    entity_id=None, pixel=None, frontside=None,
                    tangent=None, bitangent=None, scene_center=None,
-                   scene_radius=None, textures=None, registry=None):
+                   scene_radius=None, textures=None, registry=None,
+                   dpdu=None, dpdv=None):
     """Build a PExpr ShadeCtx; missing pieces default to zeros."""
     from ..scene.pexpr import ShadeCtx
     z = jnp.zeros_like(uv.x)
@@ -287,7 +288,7 @@ def make_shade_ctx(uv: Vec2, point=None, normal=None, face_normal=None,
         entity_id=entity_id if entity_id is not None else z.astype(jnp.int32),
         pixel=pixel or (z.astype(jnp.int32), z.astype(jnp.int32)),
         frontside=frontside if frontside is not None else z < 1,
-        textures=textures, registry=registry)
+        textures=textures, registry=registry, dpdu=dpdu, dpdv=dpdv)
 
 
 def make_texture_evaluator(descs: Tuple[TexDesc, ...], datas):

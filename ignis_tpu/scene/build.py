@@ -438,7 +438,32 @@ def _bsdf_row(obj: SceneObject, texreg: "TextureRegistry",
         # BSDF already behaves two-sided; alias the inner row in fixup.
         row["kind"] = int(BsdfKind.DIFFUSE)
         row["_alias"] = obj.get_string("bsdf")
-    elif t in ("transform", "map", "normalmap", "bumpmap"):
+    elif t == "transform":
+        # normal-override wrapper (TransformBSDF.cpp:20-44): the "normal"
+        # property is a per-shading-point PExpr vec3 (world space) fed
+        # through make_normal_set — e.g. the Cycles exporter's
+        # ensure_valid_reflection(Ng, V, bump(...)) chains (applied in
+        # path.apply_normal_map, bump_kind=3)
+        row["kind"] = int(BsdfKind.DIFFUSE)
+        row["_alias"] = obj.get_string("bsdf")
+        nexpr = obj.get("normal")
+        if isinstance(nexpr, str):
+            tid = texreg.resolve_color(nexpr, f"BSDF '{obj.name}' normal")
+        elif nexpr is not None:
+            v = np.asarray(nexpr, np.float64).reshape(-1)[:3]
+            tid = texreg.resolve_color(
+                f"vec3({v[0]!r}, {v[1]!r}, {v[2]!r})",
+                f"BSDF '{obj.name}' normal")
+        else:
+            tid = -1
+        if tid >= 0:
+            row["bump_kind"] = 3
+            row["bump_tex"] = tid
+        if "tangent" in obj.props:
+            warnings.append(f"BSDF '{obj.name}': transform tangent "
+                            "override not supported; using normal only")
+        row["bump_strength"] = 1.0
+    elif t in ("map", "normalmap", "bumpmap"):
         # normal/bump mapping wrapper (MapBSDF.cpp): shading uses the inner
         # BSDF's row (alias), with the shading normal perturbed per hit
         # from the map texture (applied in path.apply_normal_map)

@@ -243,6 +243,11 @@ class ShadeCtx(NamedTuple):
     # array (shape () num / (3,) vec / (4,) color); when present, named
     # parameters are read live instead of the baked load-time constant
     registry: Optional[dict] = None
+    # raw (unnormalized) surface derivatives dP/du, dP/dv — the bump()
+    # builtin needs true magnitudes (height delta per surface distance,
+    # like Cycles' bump node), not the unit tangents Nx/Ny
+    dpdu: Optional[tuple] = None
+    dpdv: Optional[tuple] = None
 
 
 def _broadcast(v, like):
@@ -693,11 +698,67 @@ def _build_funcs():
         return ("vec3", tuple(x - 2 * d * y for x, y in zip(i, nn)))
     f["reflect"] = _reflect
 
+    def _bump(args, ctx):
+        # bump(N, Nx, Ny, distance, dHdu, dHdv) — perturb the shading
+        # normal by a height-field gradient (reference
+        # texture/bump.art:3-11 node_bump, Transpiler.cpp:921). When the
+        # shading context carries raw surface derivatives we use those
+        # instead of the unit tangents the caller passes: the height
+        # delta is per-uv, so the tilt must be measured against |dP/du|
+        # (Cycles' bump node semantics — the golden references' renderer)
+        _, n = args[0]
+        _, nx = args[1]
+        _, ny = args[2]
+        dist = args[3][1]
+        dhx = args[4][1]
+        dhy = args[5][1]
+        if ctx.dpdu is not None:
+            l2u = sum(x * x for x in ctx.dpdu)
+            l2v = sum(x * x for x in ctx.dpdv)
+            ok = (l2u > 1e-16) & (l2v > 1e-16)
+            nx = tuple(jnp.where(ok, d, t) for d, t in zip(ctx.dpdu, nx))
+            ny = tuple(jnp.where(ok, d, t) for d, t in zip(ctx.dpdv, ny))
+
+        def cr(a, b):
+            return (a[1] * b[2] - a[2] * b[1],
+                    a[2] * b[0] - a[0] * b[2],
+                    a[0] * b[1] - a[1] * b[0])
+        rx = cr(ny, n)
+        ry = cr(n, nx)
+        det = sum(x * y for x, y in zip(nx, rx))
+        grad = tuple(x * dhx + y * dhy for x, y in zip(rx, ry))
+        out = tuple(x * jnp.abs(det) - g * jnp.sign(det) * dist
+                    for x, g in zip(n, grad))
+        ln = jnp.sqrt(jnp.maximum(sum(x * x for x in out), 1e-24))
+        return ("vec3", tuple(x / ln for x in out))
+    f["bump"] = _bump
+
+    def _ensure_valid_reflection(args, ctx):
+        # ensure_valid_reflection(Ng, V, N) (Transpiler.cpp:922 ->
+        # core/sampling.art:120); shared jnp implementation in core.frame
+        from ..core.frame import ensure_valid_reflection as _evr
+        from ..core.vec import Vec3 as _V3
+        _, ng = args[0]
+        _, i = args[1]
+        _, n = args[2]
+        out = _evr(_V3(*ng), _V3(*i), _V3(*n))
+        return ("vec3", (out.x, out.y, out.z))
+    f["ensure_valid_reflection"] = _ensure_valid_reflection
+
     def _checkerboard(args, ctx):
+        # node_checkerboard2/3 (texture/checkerboard.art:1-2): parity of
+        # wrap(v, 0, 2); the vec3 variant XORs in the z parity, so
+        # checkerboard(uvw) with w = 0 is the INVERSE of the vec2 parity
         t, v = args[0]
-        iu = jnp.floor(v[0]).astype(jnp.int32)
-        iv = jnp.floor(v[1]).astype(jnp.int32)
-        return ("int", (((iu + iv) % 2) == 0).astype(jnp.float32))
+        px = jnp.mod(v[0], 2.0).astype(jnp.int32)
+        py = jnp.mod(v[1], 2.0).astype(jnp.int32)
+        eq_xy = px == py
+        if t == "vec2":
+            out = eq_xy
+        else:
+            pz = jnp.mod(v[2], 2.0).astype(jnp.int32)
+            out = eq_xy == (pz == 1)
+        return ("int", out.astype(jnp.float32))
     f["checkerboard"] = _checkerboard
 
     def _fresnel_dielectric(args, ctx):

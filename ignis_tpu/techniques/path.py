@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core import rng as rnglib
-from ..core.frame import Frame, make_frame
+from ..core.frame import Frame, ensure_valid_reflection, make_frame
 from ..core.vec import (Color, Vec2, Vec3, black, color_max_component, cross,
                         cselect, dot, length, normalize, safe_div, saturate,
                         vselect, white)
@@ -44,6 +44,12 @@ class Surface(NamedTuple):
     uv: Vec2
     is_entering: jnp.ndarray
     ent: jnp.ndarray
+    # UV-aligned tangent/bitangent (dP/du, dP/dv per face), zero when the
+    # parameterization is degenerate -> Duff-ONB fallback. Tangent-space
+    # normal/bump maps are authored against the UV tangents (mikktspace);
+    # a normal-only ONB tilts bevel normals in a wrong azimuth.
+    tu: Vec3 = None
+    tv: Vec3 = None
 
 
 def _use_pallas_bvh(scene: SceneData) -> bool:
@@ -217,6 +223,22 @@ def compute_surface(scene: SceneData, rays: Rays, hit: Hit) -> Surface:
     ent = jnp.round(entf).astype(jnp.int32) \
         if entf.dtype != jnp.int32 else entf
 
+    # Per-face UV tangents dP/du, dP/dv solved from the edge/uv deltas
+    # (the mikktspace-style basis tangent-space maps are authored in);
+    # zeroed (-> ONB fallback) when the uv parameterization degenerates
+    du1 = uv1.x - uv0.x
+    dv1 = uv1.y - uv0.y
+    du2 = uv2.x - uv0.x
+    dv2 = uv2.y - uv0.y
+    det_uv = du1 * dv2 - dv1 * du2
+    inv_det = jnp.where(jnp.abs(det_uv) > 1e-12, 1.0 / det_uv, 0.0)
+    tu = Vec3((e1.x * dv2 - e2.x * dv1) * inv_det,
+              (e1.y * dv2 - e2.y * dv1) * inv_det,
+              (e1.z * dv2 - e2.z * dv1) * inv_det)
+    tv = Vec3((e2.x * du1 - e1.x * du2) * inv_det,
+              (e2.y * du1 - e1.y * du2) * inv_det,
+              (e2.z * du1 - e1.z * du2) * inv_det)
+
     # Miss lanes carry t = FLT_MAX; clamp so downstream math (and its
     # reverse-mode) stays finite — the lanes are masked out anyway.
     t_safe = jnp.where(hit.prim >= 0, hit.t, 1.0)
@@ -235,6 +257,10 @@ def compute_surface(scene: SceneData, rays: Rays, hit: Hit) -> Surface:
         ns = vselect(is_tri, ns, sn)
         uv = Vec2(jnp.where(is_tri, uv.x, suv.x), jnp.where(is_tri, uv.y, suv.y))
         ent = jnp.where(is_tri, ent, scene.sph_attr.ent[sp])
+        zero = Vec3(jnp.zeros_like(uv.x), jnp.zeros_like(uv.x),
+                    jnp.zeros_like(uv.x))
+        tu = vselect(is_tri, tu, zero)
+        tv = vselect(is_tri, tv, zero)
 
     # Instanced region: prim >= n_tri + n_sph (two-level accel,
     # ops/instanced.py); attributes come from the shared local mesh with
@@ -258,20 +284,44 @@ def compute_surface(scene: SceneData, rays: Rays, hit: Hit) -> Surface:
         uv = Vec2(jnp.where(keep, uv.x, iuv.x),
                   jnp.where(keep, uv.y, iuv.y))
         ent = jnp.where(keep, ent, ient)
+        zero = Vec3(jnp.zeros_like(uv.x), jnp.zeros_like(uv.x),
+                    jnp.zeros_like(uv.x))
+        tu = vselect(keep, tu, zero)
+        tv = vselect(keep, tv, zero)
 
     is_entering = dot(rays.dir, face_n) <= 0.0
     flip = jnp.where(is_entering, 1.0, -1.0)
     face_n = face_n * flip
     ns = ns * flip
-    return Surface(point, face_n, ns, uv, is_entering, ent)
+    return Surface(point, face_n, ns, uv, is_entering, ent, tu, tv)
+
+
+def shading_frame(surf: Surface) -> Frame:
+    """Shading-normal frame with UV-aligned tangents when the surface
+    provides them (tangent-space maps are authored against dP/du), ONB
+    fallback otherwise. Bitangent handedness follows the uv winding."""
+    fr = make_frame(surf.ns)
+    if surf.tu is None:
+        return fr
+    ns = surf.ns
+    proj = dot(ns, surf.tu)
+    t = Vec3(surf.tu.x - ns.x * proj, surf.tu.y - ns.y * proj,
+             surf.tu.z - ns.z * proj)
+    tl2 = dot(t, t)
+    ok = tl2 > 1e-16
+    inv = 1.0 / jnp.sqrt(jnp.maximum(tl2, 1e-30))
+    t = Vec3(t.x * inv, t.y * inv, t.z * inv)
+    b0 = cross(ns, t)
+    sgn = jnp.where(dot(b0, surf.tv) < 0.0, -1.0, 1.0)
+    b = Vec3(b0.x * sgn, b0.y * sgn, b0.z * sgn)
+    return Frame(vselect(ok, t, fr.t), vselect(ok, b, fr.b), ns)
 
 
 def make_surface_ctx(scene: SceneData, rays: Rays, surf: Surface,
                      eval_texture):
     """PExpr shading context at a surface hit (Transpiler variable set)."""
     from ..models.texture import make_shade_ctx
-    from ..core.frame import make_frame as _mf
-    fr = _mf(surf.ns)
+    fr = shading_frame(surf)
     return make_shade_ctx(
         surf.uv,
         point=(surf.point.x, surf.point.y, surf.point.z),
@@ -286,7 +336,11 @@ def make_surface_ctx(scene: SceneData, rays: Rays, surf: Surface,
         scene_center=(scene.scene_center.x, scene.scene_center.y,
                       scene.scene_center.z),
         scene_radius=scene.scene_radius,
-        registry=scene.registry)
+        registry=scene.registry,
+        dpdu=((surf.tu.x, surf.tu.y, surf.tu.z)
+              if surf.tu is not None else None),
+        dpdv=((surf.tv.x, surf.tv.y, surf.tv.z)
+              if surf.tv is not None else None))
 
 
 def gather_material(scene: SceneData, surf: Surface, eval_texture=None,
@@ -324,7 +378,7 @@ def apply_normal_map(scene: SceneData, settings: RenderSettings,
     bk = take_rows(scene.materials.bump_kind, mid)
     bt = jnp.clip(take_rows(scene.materials.bump_tex, mid), 0, None)
     bs = take_rows(scene.materials.bump_strength, mid)
-    fr = make_frame(surf.ns)
+    fr = shading_frame(surf)
     ctx = sctx if sctx is not None else surf.uv
 
     # normalmap (map.art:56): tangent-space color -> world, lerp by strength
@@ -358,7 +412,22 @@ def apply_normal_map(scene: SceneData, settings: RenderSettings,
                         surf.ns.y - bs * (fr.t.y * dx + fr.b.y * dy),
                         surf.ns.z - bs * (fr.t.z * dx + fr.b.z * dy)))
 
-    new_ns = vselect(bk == 1, nN, vselect(bk == 2, bN, surf.ns))
+    # transform BSDF (TransformBSDF.cpp:40-44): the "normal" property is a
+    # PExpr vec3 evaluated per shading point (world space), registered as
+    # a procedural texture at load (build.py); its rgb IS the new normal
+    ec = eval_texture(bt, ctx)
+    xN = normalize(Vec3(ec.r, ec.g, ec.b))
+
+    new_ns = vselect(bk == 1, nN,
+                     vselect(bk == 2, bN,
+                             vselect(bk == 3, xN, surf.ns)))
+    # make_normal_set (map.art:36-42): clamp every overridden normal so
+    # the view reflection stays above the geometric surface
+    if not isinstance(ctx, Vec2):
+        view = Vec3(*ctx.ray_dir)  # ShadeCtx.ray_dir is outward (= V)
+        new_ns = vselect(bk > 0,
+                         ensure_valid_reflection(surf.face_n, view, new_ns),
+                         new_ns)
     return surf._replace(ns=new_ns)
 
 

@@ -439,3 +439,39 @@ def test_tensortree_peak_extraction_semantics():
 
     # peakExtraction=false disables statically too
     assert from_numpy(t, use_peak=False).use_peak is None
+
+
+def test_transform_bsdf_identity_normal_matches_inner():
+    """transform BSDF (reference TransformBSDF.cpp): normal="N" must be a
+    no-op relative to the bare inner BSDF."""
+    import copy
+    plain = copy.deepcopy(BASE)
+    wrapped = copy.deepcopy(BASE)
+    wrapped["bsdfs"] = [
+        {"type": "diffuse", "name": "inner", "reflectance": [0.8, 0.8, 0.8]},
+        {"type": "transform", "name": "g", "bsdf": "inner", "normal": "N"},
+    ]
+    a, _ = _render(plain)
+    b, _ = _render(wrapped)
+    assert np.allclose(a, b, atol=1e-5), np.abs(a - b).max()
+
+
+def test_uv_tangents_on_rectangle():
+    """Per-face dP/du tangents: on an axis-aligned rectangle the uv
+    tangent must be axis-aligned (not the Duff ONB of the normal)."""
+    import jax.numpy as jnp
+    from ignis_tpu.techniques import path as P
+    from ignis_tpu.models import camera as cam
+    rt = ignis_tpu.loadFromString(json.dumps(BASE), spi=1)
+    scene, settings = rt.scene, rt.settings
+    rays = cam.generate_rays(scene.camera, settings,
+                             jnp.array([16.0]), jnp.array([16.0]),
+                             jnp.array([0.5]), jnp.array([0.5]))
+    hit = P.trace_scene(scene, rays)
+    assert int(np.asarray(hit.prim)[0]) >= 0
+    surf = P.compute_surface(scene, rays, hit)
+    fr = P.shading_frame(surf)
+    t = np.array([float(fr.t.x[0]), float(fr.t.y[0]), float(fr.t.z[0])])
+    n = np.array([float(fr.n.x[0]), float(fr.n.y[0]), float(fr.n.z[0])])
+    assert abs(abs(t @ np.array([1.0, 0, 0])) - 1.0) < 1e-4, t
+    assert abs(t @ n) < 1e-4

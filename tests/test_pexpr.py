@@ -107,3 +107,46 @@ def test_errors():
         Compiler({}).compile("unknown_fn(1)")(ctx_with_uv())
     with pytest.raises(PExprError):
         Compiler({}).compile("1 +")
+
+
+def test_checkerboard_parity_matches_reference():
+    # node_checkerboard2/3 (reference texture/checkerboard.art:1-2): the
+    # vec3 variant XORs in the z parity, so checkerboard(uvw) with w=0 is
+    # the inverse of the vec2 parity
+    assert run_num("checkerboard(vec2(0.5, 0.5))") == 1
+    assert run_num("checkerboard(vec2(1.5, 0.5))") == 0
+    assert run_num("checkerboard(vec3(0.5, 0.5, 0.0))") == 0
+    assert run_num("checkerboard(vec3(1.5, 0.5, 0.0))") == 1
+    assert run_num("checkerboard(vec3(0.5, 0.5, 1.5))") == 1
+    # negative coords wrap like math::wrap (always into [0,2))
+    assert run_num("checkerboard(vec3(-0.5, 0.5, 0.0))") == 1
+
+
+def test_bump_builtin_tilts_against_gradient():
+    # bump(N, Nx, Ny, dist, dHdu, dHdv): height rising along +u tilts the
+    # normal toward -u (texture/bump.art:3-11)
+    c = Compiler({})
+    f = c.compile("bump(vec3(0,0,1), vec3(1,0,0), vec3(0,1,0), 1.0, 0.5, 0.0)")
+    t, v = f(ctx_with_uv())
+    assert t == "vec3"
+    x = float(np.asarray(v[0])[0]); z = float(np.asarray(v[2])[0])
+    assert x < 0 and z > 0
+    assert abs(x / z + 0.5) < 1e-5  # tan of tilt = dHdu
+
+
+def test_ensure_valid_reflection_passthrough_and_clamp():
+    c = Compiler({})
+    # valid normal: unchanged
+    f = c.compile("ensure_valid_reflection(vec3(0,0,1), vec3(0,0,1), "
+                  "vec3(0.1, 0, 0.995))")
+    _, v = f(ctx_with_uv())
+    assert abs(float(np.asarray(v[0])[0]) - 0.1) < 1e-3
+    # normal nearly perpendicular with grazing view: reflection would go
+    # below the surface -> nudged back above the geometric horizon
+    f2 = c.compile("ensure_valid_reflection(vec3(0,0,1), "
+                   "vec3(-0.995, 0, 0.0995), vec3(1, 0, 0.01))")
+    _, v2 = f2(ctx_with_uv())
+    n = np.array([float(np.asarray(x)[0]) for x in v2])
+    i = np.array([-0.995, 0, 0.0995])
+    r = 2 * np.dot(n, i) * n - i
+    assert r[2] >= -1e-4  # view reflection not below the geometric surface

@@ -133,6 +133,11 @@ CANDIDATE_ARGS = [
     ["0.5", "1.0", "1.5"],
     ["true", "0.25", "0.75"],
     ["0.5", "0.25", "0.75", "1.0"],
+    # ensure_valid_reflection(Ng, V, N) — three vec3s
+    ["vec3(0, 0, 1)", "vec3(0.5, 0, 0.866)", "vec3(0.3, 0, 0.954)"],
+    # bump(N, Nx, Ny, distance, dHdu, dHdv)
+    ["vec3(0, 0, 1)", "vec3(1, 0, 0)", "vec3(0, 1, 0)", "1.0", "0.2",
+     "0.1"],
 ]
 
 

@@ -79,10 +79,19 @@ def eval_medium_at(media: Media, settings, medium_id, sctx, n):
     return sa, ss, g
 
 
+# Distances reaching transmittance can be FLT_MAX (infinite lights, miss
+# lanes). exp(-sigma*d) is saturated long before d = 1e8, but the VJP
+# d/dsigma = -d * exp(-sigma*d) carries the RAW distance: at 3.4e38 the
+# sigma cotangents (the med_sa/med_ss carry of the differentiable scan)
+# overflow to inf under fusion and poison the whole backward pass.
+_TR_DIST_CAP = 1e8
+
+
 def transmittance(med: MediumParams, dist) -> Color:
-    return Color(jnp.exp(-med.sigma_t.r * dist),
-                 jnp.exp(-med.sigma_t.g * dist),
-                 jnp.exp(-med.sigma_t.b * dist))
+    d = jnp.minimum(dist, _TR_DIST_CAP)
+    return Color(jnp.exp(-med.sigma_t.r * d),
+                 jnp.exp(-med.sigma_t.g * d),
+                 jnp.exp(-med.sigma_t.b * d))
 
 
 def sigma_t_pivot(med: MediumParams):
@@ -93,7 +102,7 @@ def sigma_t_pivot(med: MediumParams):
 
 
 def tr_at_pivot(med: MediumParams, dist):
-    return jnp.exp(-sigma_t_pivot(med) * dist)
+    return jnp.exp(-sigma_t_pivot(med) * jnp.minimum(dist, _TR_DIST_CAP))
 
 
 class MediumSample(NamedTuple):

@@ -182,7 +182,13 @@ def make_vol_bounce(scene: SceneData, settings: RenderSettings, n,
 
         # ---- continuation: medium event or surface bounce -----------------
         rng, (um, up0, up1, b_pick, b0, b1, b2, b_rr) = rnglib.next_f32_n(rng, 8)
-        ms = medlib.sample_distance(med, hit.t, um)
+        # Medium sampling happens over REAL segments only (the reference's
+        # sample(p_start, p_end) has finite endpoints by construction,
+        # homogeneous.art:41-55); miss/dead lanes carry hit.t = FLT_MAX,
+        # and with PExpr sigmas that can go negative (this scene's
+        # 4*norm(Np.xyzz)) exp(-sigma*FLT_MAX) overflows and NaNs the
+        # backward pass. dist = 0 -> reach_surface -> invalid sample.
+        ms = medlib.sample_distance(med, jnp.where(found, hit.t, 0.0), um)
         # Medium branch
         phase_dir, _ = medlib.sample_hg(med.g, out_dir, up0, up1)
         med_contrib = state.contrib.cmul(ms.weight)

@@ -475,3 +475,32 @@ def test_uv_tangents_on_rectangle():
     n = np.array([float(fr.n.x[0]), float(fr.n.y[0]), float(fr.n.z[0])])
     assert abs(abs(t @ np.array([1.0, 0, 0])) - 1.0) < 1e-4, t
     assert abs(t @ n) < 1e-4
+
+
+def test_klems_sample_pdf_consistency(tmp_path):
+    """Patch-CDF klems sampler: sample() pdf must equal pdf() for the
+    sampled direction, and Monte-Carlo integration of eval/pdf over
+    sampled directions must recover the hemisphere albedo (here a
+    constant 1/pi transmitter -> integral 1)."""
+    import jax.numpy as jnp
+    from ignis_tpu.models.klems import (from_numpy, klems_eval, klems_pdf,
+                                        klems_sample, make_klems_frame,
+                                        KlemsFrame)
+    from ignis_tpu.scene.klems import load_klems
+    from ignis_tpu.core.vec import Vec3, Color
+    xml = tmp_path / "u.xml"
+    _klems_xml(xml, 1.0 / np.pi)
+    kd = from_numpy(load_klems(xml))
+    n = 4096
+    rs = np.random.RandomState(7)
+    z = jnp.ones(n)
+    kf = make_klems_frame(Vec3(0 * z, 0 * z, z), z > 0, Vec3(0, 1, 0))
+    wo = Vec3(0 * z + 0.3, 0 * z, 0 * z + 0.954)  # fixed view dir
+    u0, u1, u2 = (jnp.asarray(rs.rand(n), jnp.float32) for _ in range(3))
+    wi, pdf, w, valid = klems_sample(kd, Color(z, z, z), kf, wo, u0, u1, u2)
+    pdf2 = klems_pdf(kd, kf, wi, wo)
+    assert np.allclose(np.asarray(pdf), np.asarray(pdf2), rtol=1e-4)
+    assert bool(np.asarray(valid).all())
+    # E[f*cos/pdf] = integral of btdf*cos = 1 for the 1/pi transmitter
+    est = float(np.asarray(w.r).mean())
+    assert abs(est - 1.0) < 0.05, est

@@ -133,3 +133,52 @@ def test_sharded_compact_matches_single():
     img_1 = np.asarray(_render_iteration_compacting(
         rt.scene, rt.settings, jnp.uint32(0), jnp.uint32(0)))
     np.testing.assert_allclose(img_sh, img_1, rtol=2e-4, atol=2e-5)
+
+
+BASELINE_SCENES = [
+    "/root/reference/scenes/single_triangle.json",
+    "/root/reference/scenes/primitives.json",
+    "/root/reference/scenes/diamond_scene.json",
+    "/root/reference/scenes/environment_map.json",
+    "/root/reference/scenes/participating_media.json",
+]
+
+
+@pytest.mark.parametrize("path", BASELINE_SCENES,
+                         ids=[p.rsplit("/", 1)[1][:-5] for p in BASELINE_SCENES])
+def test_gradient_gate_baseline_scenes(path):
+    """BASELINE.md gradient gate: reverse-mode gradients on each of the
+    five config scenes must match central finite differences (the RNG is
+    deterministic per (iteration, frame), so FD is exact on the same
+    sample set up to float noise). Differentiates the material albedo
+    table; environment_map has no BSDFs at all, so there the parameter is
+    the env light radiance scale."""
+    rt = ignis_tpu.loadFromFile(path, width=24, height=24, spi=1)
+    settings = rt.settings.__class__(**{**rt.settings.__dict__,
+                                        "remat": True})
+    scene = rt.scene
+    use_light = "environment_map" in path
+
+    def loss_of(p):
+        from ignis_tpu.render.session import render_iteration
+        if use_light:
+            sc = scene._replace(lights=scene.lights._replace(
+                intensity=scene.lights.intensity._replace(r=p)))
+        else:
+            sc = scene._replace(materials=scene.materials._replace(
+                base=scene.materials.base._replace(r=p)))
+        img = render_iteration(sc, settings, jnp.uint32(0), jnp.uint32(0))
+        return jnp.mean(img)
+
+    p0 = (scene.lights.intensity.r if use_light
+          else scene.materials.base.r)
+    g = np.asarray(jax.grad(loss_of)(p0))
+    assert np.isfinite(g).all()
+    # FD-check the largest-|g| rows (guaranteed signal)
+    order = np.argsort(-np.abs(g))[:2]
+    assert abs(g[order[0]]) > 0, "no differentiable signal in scene"
+    eps = 1e-3
+    for i in order:
+        fd = (float(loss_of(p0.at[i].add(eps)))
+              - float(loss_of(p0.at[i].add(-eps)))) / (2 * eps)
+        np.testing.assert_allclose(g[i], fd, rtol=0.08, atol=1e-6)

@@ -295,10 +295,21 @@ def _sample_env_direct(scene: SceneData, lp: LightParams, from_point: Vec3,
     intens = const_int
     pdf = jnp.broadcast_to(INV_4PI, shape)
 
-    if eval_texture is not None and scene.envmap is not None:
-        # Textured env with 2D CDF (env.art make_environment_light_textured)
-        cdf = CDF2D(scene.envmap.marginal, scene.envmap.conditional)
-        x, y, p2 = sample_cdf_2d(cdf, u0, u1)
+    if eval_texture is not None and scene.envmap is not None \
+            and _env_method(scene.envmap) is None:
+        # Textured env WITHOUT an importance table (cdf: "none", or the
+        # radiance is a PExpr that was not baked): keep the uniform-sphere
+        # direction but weight by the texture's emission along it
+        uvd = _env_uv_from_dir(_switch_env_up(d))
+        tex_col = eval_texture(lp.tex, uvd)
+        t_int = tex_col.cmul(lp.intensity) * (1.0 / INV_4PI)
+        intens = cselect(lp.tex >= 0, t_int, intens)
+    if eval_texture is not None and scene.envmap is not None \
+            and _env_method(scene.envmap) is not None:
+        # Textured env with a 2D importance table; which build the scene
+        # carries (conditional CDF / SAT / hierarchical pyramid,
+        # EnvironmentLight.cpp:22-27) is static in the pytree shapes
+        x, y, p2 = _env_sample_uv(scene.envmap, u0, u1)
         theta = (1.0 - y) * PI
         phi = (x - 0.25) * TWO_PI
         ld = dir_from_spherical(theta, phi)
@@ -335,14 +346,50 @@ def env_emission(scene: SceneData, lp: LightParams, ray_dir: Vec3,
     return cselect(is_sun & in_cone, lp.intensity, res)
 
 
+def _env_method(envmap):
+    """Static dispatch on which importance table the scene carries."""
+    if envmap is None:
+        return None
+    if len(envmap.hier_levels) > 0:
+        return "hierachical"
+    if envmap.sat_grid.shape[0] > 1 or envmap.sat_grid.shape[1] > 1:
+        return "sat"
+    if envmap.conditional.shape[0] > 1 or envmap.conditional.shape[1] > 1:
+        return "conditional"
+    return None
+
+
+def _env_sample_uv(envmap, u0, u1):
+    """Sample (x, y, unit-square pdf) from the env importance table."""
+    m = _env_method(envmap)
+    if m == "hierachical":
+        from ..core.cdf import Hier2D, sample_hier_2d
+        return sample_hier_2d(Hier2D(envmap.hier_levels), u0, u1)
+    if m == "sat":
+        from ..core.cdf import SAT2D, sample_sat_2d
+        return sample_sat_2d(SAT2D(envmap.sat_table, envmap.sat_grid),
+                             u0, u1)
+    return sample_cdf_2d(CDF2D(envmap.marginal, envmap.conditional), u0, u1)
+
+
+def _env_pdf_uv(envmap, x, y):
+    m = _env_method(envmap)
+    if m == "hierachical":
+        from ..core.cdf import Hier2D, pdf_hier_2d
+        return pdf_hier_2d(Hier2D(envmap.hier_levels), x, y)
+    if m == "sat":
+        from ..core.cdf import SAT2D, pdf_sat_2d
+        return pdf_sat_2d(SAT2D(envmap.sat_table, envmap.sat_grid), x, y)
+    return pdf_cdf_2d(CDF2D(envmap.marginal, envmap.conditional), x, y)
+
+
 def env_pdf_direct(scene: SceneData, lp: LightParams, ray_dir: Vec3):
     """Solid-angle pdf of sampling ray_dir via sample_direct (for MIS)."""
     pdf = jnp.broadcast_to(INV_4PI, lp.p0.shape)
-    if scene.envmap is not None:
+    if scene.envmap is not None and _env_method(scene.envmap) is not None:
         ld = _switch_env_up(ray_dir)
         uv = _env_uv_from_dir(ld)
-        cdf = CDF2D(scene.envmap.marginal, scene.envmap.conditional)
-        p2 = pdf_cdf_2d(cdf, uv.x, uv.y)
+        p2 = _env_pdf_uv(scene.envmap, uv.x, uv.y)
         sin_theta = jnp.sqrt(jnp.maximum(1.0 - ld.z * ld.z, 0.0))
         pdf_tex = safe_div(p2, sin_theta * PI * PI * 2.0)
         pdf = jnp.where(lp.tex >= 0, pdf_tex, pdf)

@@ -963,6 +963,7 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
     area_cdf: List[float] = []
     envmap = EnvMap(jnp.asarray(False), jnp.zeros((1,), jnp.float32),
                     jnp.zeros((1, 1), jnp.float32))
+    env_cdf_method = "conditional"
     ent_name_to_id = {n: i for i, n in enumerate(ent_names)}
 
     def light_row(**kw):
@@ -1049,9 +1050,21 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
                                             intensity=scale, infinite=True))
                 else:
                     if rad in tex_images:
-                        envmap = _build_env_cdf(
-                            tex_images[rad],
-                            compensate=obj.get_bool("compensate", False))
+                        # "cdf" method selection (EnvironmentLight.cpp:22-27)
+                        m = (obj.get_string("cdf", "conditional")
+                             or "conditional").lower()
+                        if m not in ("none", "conditional", "sat",
+                                     "hierachical", "hierarchical"):
+                            warnings.append(f"Env light '{name}': unknown "
+                                            f"cdf method '{m}', using "
+                                            "conditional")
+                            m = "conditional"
+                        if m != "none":
+                            env_cdf_method = m
+                            envmap = _build_env_cdf(
+                                tex_images[rad],
+                                compensate=obj.get_bool("compensate", True),
+                                method=m)
                     l_rows.append(light_row(kind=int(LightKind.ENV),
                                             intensity=scale, tex=tid,
                                             infinite=True))
@@ -1540,6 +1553,7 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
                      for r in mat_rows),
         bsdf_kinds=tuple(sorted({int(r["kind"]) for r in mat_rows})),
         light_kinds=tuple(sorted({int(r["kind"]) for r in l_rows})),
+        env_cdf_method=env_cdf_method,
         debug_mode=_debug_mode_of(tech) if tech else 0,
         # photon mapping (PhotonMappingTechnique.cpp:14-20); the reference
         # default of 1e6 photons is kept, overridable for tests
@@ -1577,11 +1591,13 @@ def _append_mesh(m: meshlib.TriMesh, eid: int, shadow_visible: bool,
     ent_tri_range[ent_name] = (start, len(i))
 
 
-def _build_env_cdf(img: np.ndarray, compensate: bool) -> EnvMap:
-    """Build the env importance CDF (reference CDF::computeForImage:
-    row-luminance conditional + sin-premultiplied marginal, optional MIS
-    compensation). Rows are flipped so row 0 = v=0 = bottom, matching the
-    uv space of models/light.py env sampling."""
+def _build_env_cdf(img: np.ndarray, compensate: bool,
+                   method: str = "conditional") -> EnvMap:
+    """Build the env importance tables (reference CDF::computeForImage /
+    LoaderUtils setup_cdf2d{,_sat,_hierachical}): row-luminance weights
+    premultiplied by sin(theta), optional MIS compensation, under the
+    selected "cdf" method. Rows are flipped so row 0 = v=0 = bottom,
+    matching the uv space of models/light.py env sampling."""
     w = np.maximum(img, 0.0).mean(axis=-1)  # colorResponse
     defect = 0.0
     if compensate:
@@ -1592,8 +1608,21 @@ def _build_env_cdf(img: np.ndarray, compensate: bool) -> EnvMap:
     w = w[::-1]  # flip: row 0 becomes bottom (v=0)
     h = w.shape[0]
     sin_theta = np.sin(np.pi * (np.arange(h) + 0.5) / h)[:, None]
+    weights = (w * sin_theta).astype(np.float32)
+    zero1 = jnp.zeros((1,), jnp.float32)
+    zero2 = jnp.zeros((1, 1), jnp.float32)
+    if method == "sat":
+        from ..core.cdf import build_sat_2d
+        sat = build_sat_2d(weights)
+        return EnvMap(jnp.asarray(True), zero1, zero2,
+                      sat_table=sat.table, sat_grid=sat.grid)
+    if method in ("hierachical", "hierarchical"):
+        from ..core.cdf import build_hier_2d
+        hz = build_hier_2d(weights)
+        return EnvMap(jnp.asarray(True), zero1, zero2,
+                      hier_levels=hz.levels)
     from ..core.cdf import build_cdf_2d
-    cdf = build_cdf_2d(jnp.asarray((w * sin_theta).astype(np.float32)))
+    cdf = build_cdf_2d(jnp.asarray(weights))
     return EnvMap(jnp.asarray(True), cdf.marginal, cdf.conditional)
 
 

@@ -131,10 +131,17 @@ class Lights(NamedTuple):
 
 class EnvMap(NamedTuple):
     """Environment importance-sampling data (one textured env light max for
-    now; mirrors reference env CDF baking LoaderLight.cpp)."""
+    now; mirrors reference env CDF baking LoaderLight.cpp). Which table set
+    is populated depends on the light's "cdf" method (EnvironmentLight.cpp
+    :22-27): conditional (marginal+conditional), sat (sat_table+sat_grid),
+    or hierachical (hier_levels pyramid); the static method string lives in
+    RenderSettings.env_cdf_method."""
     present: jnp.ndarray      # () bool
     marginal: jnp.ndarray     # [h]
     conditional: jnp.ndarray  # [h, w]
+    sat_table: jnp.ndarray = _np.zeros((1, 1), _np.float32)  # [h+1, w+1]
+    sat_grid: jnp.ndarray = _np.zeros((1, 1), _np.float32)   # [h, w]
+    hier_levels: tuple = ()   # ([S,S], ..., [2,2]) mip pyramid
 
 
 class CameraData(NamedTuple):
@@ -226,3 +233,6 @@ class RenderSettings:
     bsdf_kinds: Tuple = None
     # static set of LightKind ints present (light dispatch pruning)
     light_kinds: Tuple = None
+    # env-map importance sampling method ("cdf" light property,
+    # EnvironmentLight.cpp:22-27): conditional | sat | hierachical | none
+    env_cdf_method: str = "conditional"

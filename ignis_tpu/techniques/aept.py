@@ -356,19 +356,17 @@ def sample_trace(scene: SceneData, settings: RenderSettings, x, y, iteration,
         found = hit.prim >= 0
         result = state.result
 
-        # miss: env with MIS vs the bounce mix pdf (:580)
+        # miss: env at FULL weight — AEPT has no NEE (reference
+        # adaptive_env_pathtracer.art:237 "TODO: NEE"; its on_miss adds
+        # contrib*emit undiscounted), and the guided-vs-BSDF mixture pdf is
+        # already folded into the bounce weight, so an env-pdf MIS factor
+        # here would double-count a strategy that never runs
         miss = state.alive & ~found
         for lid in _infinite_rows(scene, settings):
             lp = lightlib.gather_light(scene.lights,
                                        jnp.full(n, lid, jnp.int32))
             emit = lightlib.env_emission(scene, lp, state.dir, eval_texture)
-            pdf_s = lightlib.env_pdf_direct(scene, lp, state.dir)
-            lsel_pdf = lightlib.selector_pdf(settings, scene.lights,
-                                             jnp.full(n, lid, jnp.int32),
-                                             state.org)
-            mis = (1.0 / (1.0 + state.inv_pdf * lsel_pdf * pdf_s)
-                   if settings.enable_nee else jnp.ones(n))
-            c = _handle_color(state.contrib.cmul(emit) * mis, settings)
+            c = _handle_color(state.contrib.cmul(emit), settings)
             result = _cadd_where(miss & ~lp.delta, result, c)
 
         active = state.alive & found
@@ -395,15 +393,9 @@ def sample_trace(scene: SceneData, settings: RenderSettings, x, y, iteration,
                                        jnp.clip(light_row, 0, None))
         cos_l = -dot(state.dir, frame_l.n)
         emit_ok = active & is_emissive & surf.is_entering & (cos_l > 1e-6)
-        pdf_area = safe_div(1.0, lp_hit.p0)
-        t_safe = jnp.where(emit_ok, hit.t, 1.0)
-        cos_safe = jnp.where(emit_ok, cos_l, 1.0)
-        pdf_s = pdf_area * t_safe * t_safe / cos_safe
-        esel = lightlib.selector_pdf(settings, scene.lights,
-                                     jnp.clip(light_row, 0, None), state.org)
-        mis_e = (1.0 / (1.0 + state.inv_pdf * esel * pdf_s)
-                 if settings.enable_nee else jnp.ones(n))
-        c_emit = _handle_color(state.contrib.cmul(lp_hit.intensity) * mis_e,
+        # full weight: BSDF/guided sampling is the only strategy hitting
+        # emitters (no NEE in this technique), so no MIS discount applies
+        c_emit = _handle_color(state.contrib.cmul(lp_hit.intensity),
                                settings)
         result = _cadd_where(emit_ok, result, c_emit)
 

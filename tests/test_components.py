@@ -504,3 +504,84 @@ def test_klems_sample_pdf_consistency(tmp_path):
     # E[f*cos/pdf] = integral of btdf*cos = 1 for the 1/pi transmitter
     est = float(np.asarray(w.r).mean())
     assert abs(est - 1.0) < 0.05, est
+
+
+def test_env_cdf_methods_consistency(tmp_path):
+    """Env "cdf" method variants (EnvironmentLight.cpp:22-27): sample/pdf
+    agreement per method, and method-vs-method integration consistency on
+    a substitute HDR (the env4k scenes' texture is not bundled)."""
+    import jax.numpy as jnp
+    from ignis_tpu.core.cdf import (build_cdf_2d, sample_cdf_2d,
+                                    pdf_cdf_2d, build_sat_2d, sample_sat_2d,
+                                    pdf_sat_2d, build_hier_2d,
+                                    sample_hier_2d, pdf_hier_2d)
+    rs = np.random.RandomState(3)
+    wgrid = (rs.rand(37, 61) ** 4) * 10 + 0.01   # spiky, non-square
+    u = jnp.asarray(rs.rand(20000), jnp.float32)
+    v = jnp.asarray(rs.rand(20000), jnp.float32)
+
+    def grid_lookup(grid, x, y):
+        h, w = grid.shape
+        ix = np.minimum((np.asarray(x) * w).astype(int), w - 1)
+        iy = np.minimum((np.asarray(y) * h).astype(int), h - 1)
+        return grid[iy, ix]
+
+    ests = {}
+    for name, (sample, pdf) in {
+        "conditional": (lambda: sample_cdf_2d(build_cdf_2d(
+            jnp.asarray(wgrid, jnp.float32)), u, v), None),
+        "sat": (lambda: sample_sat_2d(build_sat_2d(wgrid), u, v), None),
+        "hierachical": (lambda: sample_hier_2d(build_hier_2d(wgrid), u, v),
+                        None),
+    }.items():
+        x, y, p = sample()
+        x, y, p = np.asarray(x), np.asarray(y), np.asarray(p)
+        assert ((x >= 0) & (x <= 1) & (y >= 0) & (y <= 1)).all(), name
+        assert (p > 0).all(), name
+        # pdf() must agree with the sampler's reported density
+        if name == "sat":
+            p2 = np.asarray(pdf_sat_2d(build_sat_2d(wgrid),
+                                       jnp.asarray(x), jnp.asarray(y)))
+        elif name == "hierachical":
+            p2 = np.asarray(pdf_hier_2d(build_hier_2d(wgrid),
+                                        jnp.asarray(x), jnp.asarray(y)))
+        else:
+            p2 = np.asarray(pdf_cdf_2d(build_cdf_2d(
+                jnp.asarray(wgrid, jnp.float32)),
+                jnp.asarray(x), jnp.asarray(y)))
+        np.testing.assert_allclose(p, p2, rtol=2e-2, atol=1e-5,
+                                   err_msg=name)
+        # integrate each method's OWN density grid: g/p is constant, so
+        # E[g/p] must equal the grid mean with near-zero variance —
+        # any deviation is sampler-vs-pdf disagreement, not MC noise
+        if name == "hierachical":
+            grid = np.asarray(build_hier_2d(wgrid).levels[0])
+        else:
+            grid = wgrid
+        g = grid_lookup(grid, x, y)
+        ests[name] = float(np.mean(g / p)) / float(grid.mean())
+    for name, e in ests.items():
+        assert abs(e - 1.0) < 0.02, (name, ests)
+
+
+def test_env_cdf_methods_render_consistency(tmp_path):
+    """The three env cdf methods must integrate the same lighting: render
+    a small scene lit by an HDR-like env under each method and compare
+    image means (pure variance differences at high spi)."""
+    from PIL import Image
+    rs = np.random.RandomState(11)
+    img = (rs.rand(32, 64, 3) ** 2 * 200).astype(np.uint8)
+    Image.fromarray(img).save(tmp_path / "env.png")
+    means = {}
+    for method in ("conditional", "sat", "hierachical"):
+        scene = json.loads(json.dumps(BASE))
+        scene["textures"] = [{"type": "image", "name": "E",
+                              "filename": str(tmp_path / "env.png")}]
+        scene["lights"] = [{"type": "env", "name": "env", "radiance": "E",
+                            "cdf": method}]
+        out, rt = _render(scene, spi=32)
+        assert rt.settings.env_cdf_method in (method, "hierarchical")
+        means[method] = float(out.mean())
+    ref = means["conditional"]
+    for m, v in means.items():
+        assert abs(v - ref) / max(ref, 1e-9) < 0.05, means

@@ -29,6 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--spp-mode", choices=["fixed", "capped"], default="fixed")
     p.add_argument("--timeout", type=float, default=0.0,
                    help="Render time budget in seconds (0 = unlimited)")
+    p.add_argument("--instancing", action="store_true",
+                   help="two-level accel: meshes reused by several "
+                        "entities are stored once with per-instance "
+                        "transforms (LoaderEntity.cpp two-level BVH)")
     p.add_argument("--denoise", action="store_true",
                    help="AOV-guided denoise before writing the output")
     p.add_argument("--stats", action="store_true")
@@ -100,6 +104,8 @@ def main(argv=None) -> int:
         overrides["width"] = args.width
     if args.height:
         overrides["height"] = args.height
+    if args.instancing:
+        overrides["instancing"] = True
 
     t0 = time.time()
     rt = Runtime.load_from_file(args.scene, **overrides)

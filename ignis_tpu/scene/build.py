@@ -835,17 +835,18 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
     # --- two-level acceleration (opt-in, reference LoaderEntity two-level
     # scene BVH): the most-reused mesh shape keeps ONE local-space copy +
     # per-instance world->local transforms instead of flattened duplicates.
-    inst_shape = None
-    inst_records = []  # (w2l 3x4, nrm 3x3, eid, shadow, aabb_min, aabb_max)
+    # Generalized two-level accel (LoaderEntity.cpp:18-32): EVERY mesh
+    # shape reused by >= 2 entities becomes an instance group sharing one
+    # local-space soup; records per group keyed by shape name
+    inst_shapes: set = set()
+    inst_records: Dict[str, list] = {}
     if overrides.get("instancing"):
         use_count: Dict[str, int] = {}
         for _, obj in scene.entities.items():
             sn = obj.get_string("shape")
             if sn in meshes:
                 use_count[sn] = use_count.get(sn, 0) + 1
-        reused = [(c, sn) for sn, c in use_count.items() if c >= 2]
-        if reused:
-            inst_shape = max(reused)[1]
+        inst_shapes = {sn for sn, c in use_count.items() if c >= 2}
 
     for name, obj in scene.entities.items():
         shape_name = obj.get_string("shape")
@@ -881,7 +882,7 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
                 sph_shadow.append(shadow_visible)
                 ent_sphere[name] = (wc, wr)
                 all_points.append(wc[None] + np.array([[-wr, -wr, -wr], [wr, wr, wr]]))
-        elif shape_name == inst_shape:
+        elif shape_name in inst_shapes:
             w2l = np.linalg.inv(tr)
             src = meshes[shape_name]
             lo = src.vertices.min(axis=0)
@@ -890,11 +891,12 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
                                 for y in (lo[1], hi[1])
                                 for z in (lo[2], hi[2])])
             wc = (tr @ corners.T).T[:, :3]
-            inst_records.append((w2l[:3, :4].astype(np.float32),
-                                 w2l[:3, :3].T.astype(np.float32),
-                                 eid, shadow_visible,
-                                 wc.min(axis=0).astype(np.float32),
-                                 wc.max(axis=0).astype(np.float32)))
+            inst_records.setdefault(shape_name, []).append(
+                (w2l[:3, :4].astype(np.float32),
+                 w2l[:3, :3].T.astype(np.float32),
+                 eid, shadow_visible,
+                 wc.min(axis=0).astype(np.float32),
+                 wc.max(axis=0).astype(np.float32)))
             all_points.append(wc)
         elif shape_name in meshes:
             src = meshes[shape_name]
@@ -911,51 +913,59 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         else:
             warnings.append(f"Entity '{name}': unknown shape '{shape_name}'")
 
-    # materialize the instanced group (one shared local soup, chunk-padded)
+    # materialize the instance groups (one shared local soup each,
+    # chunk-padded); scene.instances is a tuple of InstancedGeo
     instanced_geo = None
     if inst_records:
         from ..ops.instanced import InstancedGeo
-        src = meshes[inst_shape]
-        lm = meshlib.TriMesh(src.vertices.copy(), src.indices.copy(),
-                             None if src.normals is None
-                             else src.normals.copy(),
-                             None if src.texcoords is None
-                             else src.texcoords.copy())
-        lm.ensure_attributes()
-        lv0, le1, le2 = [], [], []
-        ln = ([], [], [])
-        luv = ([], [], [])
-        _append_mesh(lm, 0, True, lv0, le1, le2, ln, luv, [], [], [], {},
-                     "__inst__")
-        ntl = len(lv0)
-        # Pad to a common multiple of the Pallas chunk (128) and the XLA
-        # scan chunk (TRI_CHUNK=256) so the dense sweep works on every
-        # backend; 128-only padding gave the CPU path zero whole chunks.
-        padl = (-ntl) % max(TRI_CHUNK, PALLAS_CHUNK)
-
-        def pad3l(lst):
-            a = np.asarray(lst, np.float32).reshape(-1, 3)
-            return np.vstack([a, np.zeros((padl, 3), np.float32)])
-
-        def pad2l(lst):
-            a = np.asarray(lst, np.float32).reshape(-1, 2)
-            return np.vstack([a, np.zeros((padl, 2), np.float32)])
-
-        s3 = lambda a: Vec3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]),
-                            jnp.asarray(a[:, 2]))
-        s2 = lambda a: Vec2(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]))
         from ..ops.intersect import TriSoup as _TriSoup
-        instanced_geo = InstancedGeo(
-            soup=_TriSoup(s3(pad3l(lv0)), s3(pad3l(le1)), s3(pad3l(le2))),
-            n0=s3(pad3l(ln[0])), n1=s3(pad3l(ln[1])), n2=s3(pad3l(ln[2])),
-            uv0=s2(pad2l(luv[0])), uv1=s2(pad2l(luv[1])),
-            uv2=s2(pad2l(luv[2])),
-            w2l=jnp.asarray(np.stack([r[0] for r in inst_records])),
-            nrm_mat=jnp.asarray(np.stack([r[1] for r in inst_records])),
-            ent=jnp.asarray([r[2] for r in inst_records], jnp.int32),
-            shadow_visible=jnp.asarray([r[3] for r in inst_records], bool),
-            aabb_min=jnp.asarray(np.stack([r[4] for r in inst_records])),
-            aabb_max=jnp.asarray(np.stack([r[5] for r in inst_records])))
+        groups = []
+        for sname in sorted(inst_records):
+            recs = inst_records[sname]
+            src = meshes[sname]
+            lm = meshlib.TriMesh(src.vertices.copy(), src.indices.copy(),
+                                 None if src.normals is None
+                                 else src.normals.copy(),
+                                 None if src.texcoords is None
+                                 else src.texcoords.copy())
+            lm.ensure_attributes()
+            lv0, le1, le2 = [], [], []
+            ln = ([], [], [])
+            luv = ([], [], [])
+            _append_mesh(lm, 0, True, lv0, le1, le2, ln, luv, [], [], [],
+                         {}, "__inst__")
+            ntl = len(lv0)
+            # Pad to a common multiple of the Pallas chunk (128) and the
+            # XLA scan chunk (TRI_CHUNK=256) so the dense sweep works on
+            # every backend; 128-only padding gave the CPU path zero
+            # whole chunks.
+            padl = (-ntl) % max(TRI_CHUNK, PALLAS_CHUNK)
+
+            def pad3l(lst):
+                a = np.asarray(lst, np.float32).reshape(-1, 3)
+                return np.vstack([a, np.zeros((padl, 3), np.float32)])
+
+            def pad2l(lst):
+                a = np.asarray(lst, np.float32).reshape(-1, 2)
+                return np.vstack([a, np.zeros((padl, 2), np.float32)])
+
+            s3 = lambda a: Vec3(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]),
+                                jnp.asarray(a[:, 2]))
+            s2 = lambda a: Vec2(jnp.asarray(a[:, 0]), jnp.asarray(a[:, 1]))
+            groups.append(InstancedGeo(
+                soup=_TriSoup(s3(pad3l(lv0)), s3(pad3l(le1)),
+                              s3(pad3l(le2))),
+                n0=s3(pad3l(ln[0])), n1=s3(pad3l(ln[1])),
+                n2=s3(pad3l(ln[2])),
+                uv0=s2(pad2l(luv[0])), uv1=s2(pad2l(luv[1])),
+                uv2=s2(pad2l(luv[2])),
+                w2l=jnp.asarray(np.stack([r[0] for r in recs])),
+                nrm_mat=jnp.asarray(np.stack([r[1] for r in recs])),
+                ent=jnp.asarray([r[2] for r in recs], jnp.int32),
+                shadow_visible=jnp.asarray([r[3] for r in recs], bool),
+                aabb_min=jnp.asarray(np.stack([r[4] for r in recs])),
+                aabb_max=jnp.asarray(np.stack([r[5] for r in recs]))))
+        instanced_geo = tuple(groups)
 
     # --- lights ------------------------------------------------------------
     l_rows = []

@@ -140,8 +140,10 @@ def trace_scene(scene: SceneData, rays: Rays, sort: bool = None) -> Hit:
     if scene.instances is not None:
         from ..ops.instanced import intersect_instanced
         base = scene.tris.v0.x.shape[0] + scene.spheres.radius.shape[0]
-        hi = intersect_instanced(rays, scene.instances, base)
-        h = isect.merge_hits(h, hi)
+        for g in scene.instances:
+            hi = intersect_instanced(rays, g, base)
+            h = isect.merge_hits(h, hi)
+            base += g.n_instances * g.tris_per_instance
     return h
 
 
@@ -173,8 +175,8 @@ def occluded_scene(scene: SceneData, rays: Rays, sort: bool = None) -> jnp.ndarr
         occ = occ | ((h.prim >= 0) & svis)
     if scene.instances is not None:
         from ..ops.instanced import intersect_instanced
-        occ = occ | intersect_instanced(rays, scene.instances, 0,
-                                        any_hit=True)
+        for g in scene.instances:
+            occ = occ | intersect_instanced(rays, g, 0, any_hit=True)
     return occ
 
 
@@ -263,31 +265,34 @@ def compute_surface(scene: SceneData, rays: Rays, hit: Hit) -> Surface:
         tv = vselect(is_tri, tv, zero)
 
     # Instanced region: prim >= n_tri + n_sph (two-level accel,
-    # ops/instanced.py); attributes come from the shared local mesh with
-    # the instance's normal matrix applied.
+    # ops/instanced.py); attributes come from each group's shared local
+    # mesh with the instance's normal matrix applied.
     if scene.instances is not None:
         from ..ops.instanced import instanced_surface
         base = n_tri + n_sph
-        is_inst = prim >= base
-        ip = jnp.clip(prim - base, 0, None)
-        (ifn, in0, in1, in2, iuv0, iuv1, iuv2, ient) = instanced_surface(
-            scene.instances, ip)
-        ifn = normalize(ifn)
-        ins = normalize(Vec3(in0.x * w + in1.x * u + in2.x * v,
-                             in0.y * w + in1.y * u + in2.y * v,
-                             in0.z * w + in1.z * u + in2.z * v))
-        iuv = Vec2(iuv0.x * w + iuv1.x * u + iuv2.x * v,
-                   iuv0.y * w + iuv1.y * u + iuv2.y * v)
-        keep = ~is_inst
-        face_n = vselect(keep, face_n, ifn)
-        ns = vselect(keep, ns, ins)
-        uv = Vec2(jnp.where(keep, uv.x, iuv.x),
-                  jnp.where(keep, uv.y, iuv.y))
-        ent = jnp.where(keep, ent, ient)
-        zero = Vec3(jnp.zeros_like(uv.x), jnp.zeros_like(uv.x),
-                    jnp.zeros_like(uv.x))
-        tu = vselect(keep, tu, zero)
-        tv = vselect(keep, tv, zero)
+        for g in scene.instances:
+            size = g.n_instances * g.tris_per_instance
+            in_g = (prim >= base) & (prim < base + size)
+            ip = jnp.clip(prim - base, 0, size - 1)
+            (ifn, in0, in1, in2, iuv0, iuv1, iuv2, ient) = \
+                instanced_surface(g, ip)
+            ifn = normalize(ifn)
+            ins = normalize(Vec3(in0.x * w + in1.x * u + in2.x * v,
+                                 in0.y * w + in1.y * u + in2.y * v,
+                                 in0.z * w + in1.z * u + in2.z * v))
+            iuv = Vec2(iuv0.x * w + iuv1.x * u + iuv2.x * v,
+                       iuv0.y * w + iuv1.y * u + iuv2.y * v)
+            keep = ~in_g
+            face_n = vselect(keep, face_n, ifn)
+            ns = vselect(keep, ns, ins)
+            uv = Vec2(jnp.where(keep, uv.x, iuv.x),
+                      jnp.where(keep, uv.y, iuv.y))
+            ent = jnp.where(keep, ent, ient)
+            zero = Vec3(jnp.zeros_like(uv.x), jnp.zeros_like(uv.x),
+                        jnp.zeros_like(uv.x))
+            tu = vselect(keep, tu, zero)
+            tv = vselect(keep, tv, zero)
+            base += size
 
     is_entering = dot(rays.dir, face_n) <= 0.0
     flip = jnp.where(is_entering, 1.0, -1.0)

@@ -53,7 +53,8 @@ def test_instanced_matches_flattened_with_o1_memory():
     # the 64 spheres; the shared local soup holds exactly one.
     n_flat = int(np.sum(np.asarray(flat.scene.tri_attr.ent) >= 0))
     assert inst.scene.instances is not None
-    geo = inst.scene.instances
+    assert len(inst.scene.instances) == 1
+    geo = inst.scene.instances[0]
     assert geo.n_instances == 64
     one_mesh = geo.tris_per_instance
     # padded to the dense-sweep chunk multiple (256, ops/intersect.py)
@@ -76,7 +77,7 @@ def test_instanced_1k_instances_builds_small():
     """1000 instances: build memory stays O(1 mesh) (the VERDICT gate)."""
     doc = json.dumps(_grid_scene(32, spacing=1.2))  # 1024 instances
     rt = ignis_tpu.loadFromString(doc, spi=1, instancing=True)
-    geo = rt.scene.instances
+    geo = rt.scene.instances[0]
     assert geo.n_instances == 1024
     # global soup: only padding rows; local soup: one mesh
     assert int(np.sum(np.asarray(rt.scene.tri_attr.ent) >= 0)) == 0
@@ -85,3 +86,73 @@ def test_instanced_1k_instances_builds_small():
     resident = geo.tris_per_instance * 21 + geo.n_instances * (12 + 9 + 6)
     flattened_would_be = geo.n_instances * geo.tris_per_instance * 21
     assert resident < flattened_would_be / 50
+
+
+def _multi_group_scene():
+    """Three different meshes, each reused by several entities, plus one
+    unique mesh that must stay flattened."""
+    entities = []
+    shapes = [
+        {"type": "icosphere", "name": "ball", "radius": 1.0,
+         "subdivisions": 2},
+        {"type": "cube", "name": "box", "width": 1.2, "height": 1.2,
+         "depth": 1.2},
+        {"type": "cylinder", "name": "cyl", "radius": 0.4, "p0": [0, 0, 0],
+         "p1": [0, 1.2, 0]},
+        {"type": "cone", "name": "lone", "radius": 0.7, "p0": [0, 0, 0],
+         "p1": [0, 1.4, 0]},
+    ]
+    layout = [("ball", 4), ("box", 3), ("cyl", 3), ("lone", 1)]
+    k = 0
+    for sname, count in layout:
+        for c in range(count):
+            entities.append({
+                "name": f"{sname}_{c}", "shape": sname, "bsdf": "white",
+                "transform": [
+                    {"translate": [(k % 4 - 1.5) * 2.2, 0.0,
+                                   (k // 4 - 1.0) * 2.2]},
+                    {"scale": 0.6},
+                ],
+            })
+            k += 1
+    return {
+        "technique": {"type": "path", "max_depth": 3},
+        "camera": {"type": "perspective", "fov": 60,
+                   "transform": [1, 0, 0, 0,
+                                 0, 0.7071, -0.7071, 7,
+                                 0, 0.7071, 0.7071, -7]},
+        "film": {"size": [64, 64]},
+        "bsdfs": [{"type": "diffuse", "name": "white",
+                   "reflectance": [0.7, 0.6, 0.5]}],
+        "shapes": shapes,
+        "entities": entities,
+        "lights": [{"type": "point", "name": "P", "position": [0, 6, 0],
+                    "intensity": [80, 80, 80]}],
+    }
+
+
+def test_multi_group_instancing_matches_flattened():
+    """VERDICT r3 #7: N instance groups — a scene with 3 reused meshes
+    renders identically to its flattened version, each mesh stored once."""
+    doc = json.dumps(_multi_group_scene())
+    flat = ignis_tpu.loadFromString(doc, spi=4)
+    inst = ignis_tpu.loadFromString(doc, spi=4, instancing=True)
+
+    assert inst.scene.instances is not None
+    assert len(inst.scene.instances) == 3  # ball, box, cyl groups
+    counts = sorted(g.n_instances for g in inst.scene.instances)
+    assert counts == [3, 3, 4]
+    # the lone cone stays in the global soup; every reused mesh is stored
+    # exactly once (soup rows = 1 mesh + chunk padding, not N copies)
+    n_global = int(np.sum(np.asarray(inst.scene.tri_attr.ent) >= 0))
+    n_flat = int(np.sum(np.asarray(flat.scene.tri_attr.ent) >= 0))
+    assert 0 < n_global < n_flat / 3
+
+    flat.step()
+    inst.step()
+    a = flat.framebuffer(normalized=True)
+    b = inst.framebuffer(normalized=True)
+    denom = np.maximum(np.abs(a), 1e-3)
+    rel = np.abs(a - b) / denom
+    assert np.quantile(rel, 0.99) < 0.05, (a.mean(), b.mean())
+    assert abs(a.mean() - b.mean()) / max(a.mean(), 1e-6) < 0.01

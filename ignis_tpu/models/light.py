@@ -582,7 +582,14 @@ def sample_emission(scene: SceneData, lp: LightParams,
     point_s = EmissionSample(lp.pos, sdir,
                              lp.intensity * safe_div(1.0, spdf), one)
 
-    # spot: uniform cone around axis; weight = eval/(spot_area*pdf)
+    # spot: uniform cone around axis. The spot's radiant intensity (per
+    # the reference's direct-sampling path and its analytic integrator
+    # test) is I(dir) = intensity * sfac * cos_axis, so the photon weight
+    # is I(dir)/pdf_cone — the cos_axis rides in the `cos` field (the
+    # light tracer multiplies it in). The reference's own
+    # sample_emission (spot.art:42-47) additionally DIVIDES by
+    # spot_area, which dims spot photons ~2x against its own path
+    # tracer; that factor is dropped here.
     cdirl, cpdf = sample_uniform_cone(u2, u3, lp.p0)
     sp_frame = make_frame(lp.dir)
     sp_dir = sp_frame.to_world(cdirl)
@@ -591,11 +598,8 @@ def sample_emission(scene: SceneData, lp: LightParams,
     tfac = jnp.clip(safe_div(cosang - lp.p0, blend), 0.0, 1.0)
     sfac = jnp.where(blend <= 1e-6, jnp.where(cosang <= lp.p0, 0.0, 1.0),
                      tfac * tfac * (3.0 - 2.0 * tfac))
-    srad = jnp.sqrt(jnp.maximum(1.0 - lp.p0 * lp.p0, 1e-9)) \
-        / jnp.maximum(lp.p0, 1e-6)
-    spot_area = PI * srad * srad
     spot_s = EmissionSample(lp.pos, sp_dir,
-                            lp.intensity * (sfac * safe_div(1.0, spot_area * cpdf)),
+                            lp.intensity * (sfac * safe_div(1.0, cpdf)),
                             cdirl.z)
 
     # area: CDF face point + cosine hemisphere (tri or sphere)

@@ -524,16 +524,19 @@ class Runtime:
             self.scene, jnp.uint32(self._iteration), jnp.uint32(self._frame),
             self._aept_guiding)
 
-    def denoised_framebuffer(self):
-        """AOV-guided denoised image (reference: OIDN behind Runtime::step;
-        here an on-device a-trous filter, render/denoise.py)."""
+    def denoised_framebuffer(self, method: str = "nlm"):
+        """AOV-guided denoised image (reference: OIDN behind Runtime::step).
+        Default is the guided non-local-means filter (render/denoise.py
+        denoise_image_nlm); method="atrous" selects the edge-avoiding
+        a-trous wavelet fallback."""
         import numpy as np
-        from .denoise import denoise_image
+        from .denoise import denoise_image, denoise_image_nlm
+        fn = denoise_image_nlm if method == "nlm" else denoise_image
         color = jnp.asarray(np.asarray(self.framebuffer(normalized=True)))
         aovs = self.render_aovs()
-        out = denoise_image(color, jnp.asarray(aovs["Normals"]),
-                            jnp.asarray(aovs["Albedo"]),
-                            jnp.asarray(aovs["Depth"]))
+        out = fn(color, jnp.asarray(aovs["Normals"]),
+                 jnp.asarray(aovs["Albedo"]),
+                 jnp.asarray(aovs["Depth"]))
         return np.asarray(out)
 
     def saveFramebuffer(self, path, with_aovs: bool = True):

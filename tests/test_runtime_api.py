@@ -112,7 +112,12 @@ def test_denoiser_reduces_mse():
     mse_noisy = ((noisy - ref) ** 2).mean()
     mse_den = ((den - ref) ** 2).mean()
     assert np.isfinite(den).all()
-    assert mse_den < mse_noisy  # AOV-guided a-trous filter helps
+    assert mse_den < mse_noisy  # default (NLM) filter helps
+    # VERDICT r3 #9 gate: the guided non-local-means default must beat
+    # the classical a-trous fallback by a measured margin
+    den_at = rt.denoised_framebuffer(method="atrous")
+    mse_at = ((den_at - ref) ** 2).mean()
+    assert mse_den < 0.75 * mse_at, (mse_den, mse_at)
 
 
 def test_mitsuba_converter_matches_native():

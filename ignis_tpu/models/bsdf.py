@@ -694,7 +694,10 @@ def sample_bsdf(mat: MatParams, frame: Frame, is_entering, out_dir: Vec3,
 
     # --- passthrough -------------------------------------------------------
     if _want(present, BsdfKind.PASSTHROUGH):
-        pass_s = BsdfSample(-wo, one, Color(one, one, one), one, true, true)
+        # base tints the delta transmission: the "transparent" plugin is
+        # make_perfect_refraction_bsdf(surf, color)
+        # (TransparentBSDF.cpp:19); plain passthrough keeps base = 1
+        pass_s = BsdfSample(-wo, one, mat.base, one, true, true)
         out = sel(BsdfKind.PASSTHROUGH, pass_s, out)
 
     # --- plastic -----------------------------------------------------------

@@ -157,6 +157,42 @@ class TextureRegistry:
             self.warnings.append(f"{what}: PExpr error: {e}")
             return -1
 
+    def eval_constant_color(self, s: str):
+        """If the PExpr is spatially constant (e.g. the exporters'
+        "color(r,g,b,a)" literals), return its rgb; else None. Constants
+        folded into the material row survive paths that skip texture
+        evaluation (blend children) and cost nothing per lane."""
+        import re as _re
+        toks = set(_re.findall(r"[A-Za-z_]\w*", s))
+        # never fold expressions reading declared user parameters — those
+        # are read LIVE from the registry at trace time (recompile-free
+        # parameter updates) and must stay a PExpr texture
+        if toks & set(self.parameters):
+            return None
+        try:
+            import jax.numpy as _j
+            from ..models.texture import make_shade_ctx
+            from ..core.vec import Vec2
+            fn = self._compiler().compile_color(s)
+
+            def at(u, px, py, pz):
+                z = _j.full((1,), u, _j.float32)
+                p = (_j.full((1,), px), _j.full((1,), py), _j.full((1,), pz))
+                ctx = make_shade_ctx(
+                    Vec2(z, 1.0 - z), point=p, normal=p,
+                    textures=lambda tid, uv: (uv[0], uv[1], uv[0] * 0 + u))
+                r, g, b = fn(ctx)
+                return np.array([float(np.asarray(r)[0]),
+                                 float(np.asarray(g)[0]),
+                                 float(np.asarray(b)[0])])
+            a = at(0.13, 0.4, -1.2, 2.0)
+            b = at(0.77, -0.9, 0.3, -0.5)
+            if np.allclose(a, b, atol=1e-6) and np.isfinite(a).all():
+                return a
+            return None
+        except Exception:
+            return None
+
     def eval_constant_number(self, s: str):
         """Evaluate a PExpr that must be constant (host-side, scalar)."""
         try:
@@ -319,6 +355,10 @@ def _bsdf_row(obj: SceneObject, texreg: "TextureRegistry",
     def col(key, default, slot="base", tex_slot="base_tex"):
         v = obj.get_color(key, default)
         if isinstance(v, str):
+            const = texreg.eval_constant_color(v)
+            if const is not None:
+                row[slot] = const
+                return
             tid = texreg.resolve_color(v, f"BSDF '{obj.name}' {key}")
             row[tex_slot] = tid
             if tid < 0:
@@ -406,6 +446,7 @@ def _bsdf_row(obj: SceneObject, texreg: "TextureRegistry",
             1.0 if obj.get_bool("thin", False) else 0.0])
     elif t in ("passthrough", "null"):
         row["kind"] = int(BsdfKind.PASSTHROUGH)
+        row["base"] = np.ones(3)  # untinted delta transmission
     elif t in ("blend", "mix", "add"):
         # blend of two child BSDFs (BlendBSDF.cpp); child rows resolved in a
         # fixup pass after all BSDFs are registered
@@ -562,7 +603,9 @@ def _bsdf_row(obj: SceneObject, texreg: "TextureRegistry",
                                      obj.get_number("refl_p", 0.0),
                                      obj.get_number("refl_q", 0.0)])
     elif t in ("transparent", "ignore"):
+        # tinted delta transmission (TransparentBSDF.cpp:16-20)
         row["kind"] = int(BsdfKind.PASSTHROUGH)
+        col("color", (1, 1, 1))
     else:
         warnings.append(f"Unsupported BSDF type '{t}' -> error bsdf")
         row["kind"] = int(BsdfKind.NULL_ERROR)

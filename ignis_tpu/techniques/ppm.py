@@ -283,6 +283,14 @@ def gather_photons(grid: PhotonGrid, settings: RenderSettings, point: Vec3,
                 # the light side, so divide it back out (photonmapper.art:312)
                 f = eval_vk(pdir)
                 w = jnp.where(ok, safe_div(kern, jnp.abs(cos_i)), 0.0)
+                # Truncation compensation: a cell holding more than K
+                # photons contributes a K-subsample (cell order is
+                # hash-arbitrary, i.e. unweighted); rescale by the kept
+                # fraction so concentrated maps (spot/point lights) keep
+                # their full flux instead of silently darkening.
+                cnt = (end - start).astype(jnp.float32)
+                scale = safe_div(cnt, jnp.minimum(cnt, float(K)))
+                w = w * jnp.maximum(scale, 1.0)[:, None]
                 acc = Color(acc.r + jnp.sum(prad.r * f.r * w, axis=1),
                             acc.g + jnp.sum(prad.g * f.g * w, axis=1),
                             acc.b + jnp.sum(prad.b * f.b * w, axis=1))

@@ -49,20 +49,28 @@ LANE_BLOCK = int(_os.environ.get("IGNIS_TPU_BVH_LANE_BLOCK", "1024"))
 STACK_CAP = 128          # inner nodes only: 8-ary depth ~12, <=8/level
 MISS_KEY = 0x7F800000    # +inf bits
 LOCAL_MASK = 0x7F        # 7-bit in-chunk index inside the packed key
-# VMEM budget gates (full-array residency); larger scenes take the XLA path
+# VMEM budget gates: scenes up to MAX_TRIS keep the whole soup resident in
+# VMEM; bigger scenes switch to the HBM-streaming sweep (double-buffered
+# chunk DMA), gated only by the node-table VMEM budget.
 MAX_TRIS = int(_os.environ.get("IGNIS_TPU_BVH_MAX_TRIS", str(192 * 1024)))
 MAX_NODES = 4096
+# streaming variant: boxes stay VMEM-resident, triangles stream from HBM
+MAX_NODES_STREAM = int(_os.environ.get("IGNIS_TPU_BVH_MAX_NODES_STREAM",
+                                       str(32 * 1024)))
 
 
-def _bvh_kernel(n_chunks: int, any_hit: bool,
+def _bvh_kernel(n_chunks: int, any_hit: bool, stream: bool,
                 ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 tmin_ref, tmax_ref,
                 boxes_ref,    # [n_nodes, 8 comps(6 used), 8] f32 (VMEM)
                 child_ref,    # [n_nodes, 8] i32 (SMEM)
-                tri_ref,      # [n_chunks, 16, 128] f32 (VMEM): v0|e1|e2|vis
+                tri_ref,      # [n_chunks, 16, 128] f32: v0|e1|e2|vis
+                #               (VMEM resident, or HBM when stream=True)
                 t_ref, prim_ref, u_ref, v_ref,
                 stack_ref,    # SMEM [STACK_CAP] i32 (inner node ids)
                 list_ref,     # SMEM [n_chunks] i32 (leaf chunk ids)
+                tri_buf=None,  # VMEM [2, 16, 128] stream double buffer
+                dma_sem=None,  # DMA semaphores [2]
                 ):
     nb = ox_ref.shape[0]
     # --- per-lane ray state, [nb, 1] sublane orientation ---------------
@@ -154,9 +162,31 @@ def _bvh_kernel(n_chunks: int, any_hit: bool,
     # run the recorded list straight.
     col = jax.lax.broadcasted_iota(jnp.int32, (nb, CHUNK), 1)
 
+    if stream:
+        # HBM-streaming: the recorded chunks DMA into a 2-slot VMEM buffer
+        # one step ahead of the sweep (double buffering — the MT sweep of
+        # one 128-tri chunk hides the 8KB copy comfortably)
+        def _chunk_dma(i, slot):
+            return pltpu.make_async_copy(tri_ref.at[list_ref[i]],
+                                         tri_buf.at[slot],
+                                         dma_sem.at[slot])
+
+        @pl.when(n_list > 0)
+        def _():
+            _chunk_dma(0, 0).start()
+
     def sweep(i, carry):
         c = list_ref[i]
-        tv = tri_ref[c]                       # [16, 128]
+        if stream:
+            nxt = i + 1
+
+            @pl.when(nxt < n_list)
+            def _():
+                _chunk_dma(nxt, jax.lax.rem(nxt, 2)).start()
+            _chunk_dma(i, jax.lax.rem(i, 2)).wait()
+            tv = tri_buf[jax.lax.rem(i, 2)]   # [16, 128]
+        else:
+            tv = tri_ref[c]                   # [16, 128]
         t, u, v, det = _mt_terms(ox, oy, oz, dx, dy, dz,
                                  tv[0:1], tv[1:2], tv[2:3],
                                  tv[3:4], tv[4:5], tv[5:6],
@@ -244,21 +274,28 @@ def _traverse_impl(ox, oy, oz, dx, dy, dz, tmin, tmax,
     tri = _build_tri_blocks(v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
                             vis)
 
+    # VMEM-resident soup for in-cap scenes; HBM-streaming sweep beyond
+    stream = v0x.shape[0] > MAX_TRIS
     lane_spec = pl.BlockSpec((lb,), lambda i: (i,), memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    kernel = functools.partial(_bvh_kernel, n_chunks, any_hit)
+    tri_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if stream else full)
+    scratch = [pltpu.SMEM((STACK_CAP,), jnp.int32),
+               pltpu.SMEM((n_chunks + 1,), jnp.int32)]
+    if stream:
+        scratch += [pltpu.VMEM((2, NF, CHUNK), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,))]
+    kernel = functools.partial(_bvh_kernel, n_chunks, any_hit, stream)
     t, prim, u, v = pl.pallas_call(
         kernel,
         grid=(n_pad // lb,),
-        in_specs=[lane_spec] * 8 + [full, smem, full],
+        in_specs=[lane_spec] * 8 + [full, smem, tri_spec],
         out_specs=[lane_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((n_pad,), jnp.float32),
                    jax.ShapeDtypeStruct((n_pad,), jnp.int32),
                    jax.ShapeDtypeStruct((n_pad,), jnp.float32),
                    jax.ShapeDtypeStruct((n_pad,), jnp.float32)],
-        scratch_shapes=[pltpu.SMEM((STACK_CAP,), jnp.int32),
-                        pltpu.SMEM((n_chunks + 1,), jnp.int32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(_os.environ.get(
                 "IGNIS_TPU_BVH_VMEM", str(96 * 1024 * 1024)))),

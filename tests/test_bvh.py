@@ -303,3 +303,56 @@ def test_scene_accel_chunk_vs_tri_paths():
     occ_chunk = intersect_bvh_pallas(rays, sc.tris, sc.bvh.chunk,
                                      any_hit=True, interpret=True)
     assert (np.asarray(occ_tri) == np.asarray(occ_chunk)).mean() > 0.995
+
+
+def test_pallas_streaming_sweep_matches_resident():
+    """HBM-streaming sweep (stream=True, double-buffered chunk DMA) must
+    be bit-equal to the VMEM-resident sweep on the same scene (cap
+    lowered so a small scene exercises the streaming path)."""
+    import json
+    import numpy as np
+    import jax.numpy as jnp
+    import ignis_tpu
+    from ignis_tpu.core.vec import Vec3
+    from ignis_tpu.ops import pallas_bvh as PB
+    from ignis_tpu.ops.intersect import Rays
+
+    scene = {
+        "technique": {"type": "path"},
+        "camera": {"type": "perspective", "fov": 60,
+                   "transform": [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, -4,
+                                 0, 0, 0, 1]},
+        "film": {"size": [16, 16]},
+        "bsdfs": [{"type": "diffuse", "name": "w"}],
+        "shapes": [{"type": "icosphere", "name": "s", "radius": 1.2,
+                    "subdivisions": 4}],
+        "entities": [{"name": "s", "shape": "s", "bsdf": "w"}],
+        "lights": [{"type": "env", "name": "e", "radiance": 1.0}],
+    }
+    rt = ignis_tpu.loadFromString(json.dumps(scene))
+    sc = rt.scene
+    rng = np.random.default_rng(5)
+    N = 300
+    o = rng.uniform(-3, 3, (N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = Rays(Vec3(*[jnp.asarray(o[:, i]) for i in range(3)]),
+                Vec3(*[jnp.asarray(d[:, i]) for i in range(3)]),
+                jnp.zeros(N), jnp.full(N, 1e30))
+
+    h_res = PB.intersect_bvh_pallas(rays, sc.tris, sc.bvh.chunk,
+                                    interpret=True)
+    occ_res = PB.intersect_bvh_pallas(rays, sc.tris, sc.bvh.chunk,
+                                      any_hit=True, interpret=True)
+    old = PB.MAX_TRIS
+    PB.MAX_TRIS = 128  # force stream=True for this small soup
+    try:
+        h_st = PB.intersect_bvh_pallas(rays, sc.tris, sc.bvh.chunk,
+                                       interpret=True)
+        occ_st = PB.intersect_bvh_pallas(rays, sc.tris, sc.bvh.chunk,
+                                         any_hit=True, interpret=True)
+    finally:
+        PB.MAX_TRIS = old
+    assert (np.asarray(h_res.prim) == np.asarray(h_st.prim)).all()
+    np.testing.assert_array_equal(np.asarray(h_res.t), np.asarray(h_st.t))
+    np.testing.assert_array_equal(np.asarray(occ_res), np.asarray(occ_st))

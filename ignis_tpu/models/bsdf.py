@@ -881,13 +881,13 @@ class LaneShader:
         s = _sel_sample(pick_b, sB, sA)
         # pdf/eval of the *other* child at the sampled direction
         pdfA = pdf_bsdf(self.matA, self.frame, self.entering, s.in_dir,
-                        out_dir, self.present)
+                        out_dir, self.present, self.measured)
         pdfB = pdf_bsdf(self.matB, self.frame, self.entering, s.in_dir,
-                        out_dir, self.present)
+                        out_dir, self.present, self.measured)
         evalA = eval_bsdf(self.matA, self.frame, self.entering, s.in_dir,
-                          out_dir, self.present)
+                          out_dir, self.present, self.measured)
         evalB = eval_bsdf(self.matB, self.frame, self.entering, s.in_dir,
-                          out_dir, self.present)
+                          out_dir, self.present, self.measured)
         # mix.art sample_mat: chosen child contributes s.color * s.pdf
         c_first = s.weight * s.pdf
         w = self.w

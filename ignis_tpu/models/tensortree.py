@@ -101,20 +101,22 @@ def _eval_component(comp: TTComponentData, ndim: int, wi: Vec3, wo: Vec3):
 
 def _eval_factor(tt: TensorTreeData, wi: Vec3, wo: Vec3):
     """Quadrant dispatch (tensortree.art:242-247) with the component
-    canonicalizations of make_tensortree_model (tensortree.art:218-221):
-    reflection maps BOTH dirs to the component's side, transmission maps
-    wi positive and wo NEGATIVE (the incident square is then read with
-    the x/y mirror ds(-wi.xy) inside _eval_component, matching
-    tt_eval_component:93-100). Getting either mirror wrong only shows up
-    on anisotropic data — a through/spot filter reads the wrong cells."""
+    canonicalizations of make_tensortree_model (tensortree.art:218-221,
+    make_tensortree_component(wo_func, wi_func, ...) applies wo_func to wo
+    and wi_func to wi): reflection maps BOTH dirs to the component's side;
+    BOTH transmissions map wi -> negative(wi), wo -> positive(wo) (the
+    incident square is then read with the x/y mirror ds(-wi_m.xy) inside
+    _eval_component, matching tt_eval_component:93-100). Getting either
+    mirror wrong point-mirrors the parameter square — a through/spot
+    filter reads the wrong cells (the round-4 tensortree golden failures)."""
     # ndim is static via the baked grid's rank
     nd = tt.front_reflection.grid.ndim
     f_rr = _eval_component(tt.front_reflection, nd, _positive(wi),
                            _positive(wo))
-    f_ft = _eval_component(tt.front_transmission, nd, _positive(wi),
-                           _negative(wo))
-    f_bt = _eval_component(tt.back_transmission, nd, _positive(wi),
-                           _negative(wo))
+    f_ft = _eval_component(tt.front_transmission, nd, _negative(wi),
+                           _positive(wo))
+    f_bt = _eval_component(tt.back_transmission, nd, _negative(wi),
+                           _positive(wo))
     f_br = _eval_component(tt.back_reflection, nd, _negative(wi),
                            _negative(wo))
     in_front = wi.z > 0

@@ -26,10 +26,8 @@ from .intersect import FLT_MAX, Hit, Rays, TriSoup
 
 
 class InstancedGeo(NamedTuple):
-    """One shared local-space mesh + per-instance transforms.
-
-    (One instanced shape group per scene for now; additional reused shapes
-    are flattened as before.)"""
+    """One shared local-space mesh + per-instance transforms. A scene
+    builds one InstancedGeo per reused shape group (scene/build.py)."""
     soup: TriSoup                 # local space, chunk-padded
     n0: Vec3                      # local vertex normals
     n1: Vec3

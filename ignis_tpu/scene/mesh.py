@@ -217,7 +217,9 @@ def make_ico_sphere(center, radius, subdivisions=4) -> TriMesh:
         [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
         [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
     ], np.int32)
-    for _ in range(max(0, int(subdivisions) - 1)):
+    # `subdivisions` REFINEMENT ROUNDS from the 20-face icosahedron
+    # (reference TriMesh::MakeIcoSphere, TriMesh.cpp:955): 20*4^n tris.
+    for _ in range(max(0, int(subdivisions))):
         edge = {}
         new_faces = []
         vlist = [verts]

@@ -75,11 +75,31 @@ def _parse_tree(text: str, ndim: int) -> TTNode:
     return root
 
 
+def _compute_total(node: TTNode, depth: int = 1) -> float:
+    """Reference TensorTreeLoader.h computeTotal: the component 'total'
+    used for lobe-selection probabilities. The reference weights each
+    value by 1/(depth * fanout) (NOT the true cell measure); matched
+    exactly so refl_prob — and therefore sampling/MIS noise — agrees."""
+    area = 1.0 / (depth * (len(node.values) + len(node.children)))
+    total = sum(_compute_total(c, depth + 1) for c in node.children)
+    total += sum(np.pi * v * area for v in node.values)
+    return total
+
+
 def _max_depth(node: TTNode, d=0) -> int:
     if not node.children:
         # a full-value leaf subdivides each axis once more
         return d + (1 if len(node.values) > 1 else 0)
     return max(_max_depth(c, d + 1) for c in node.children)
+
+
+def _ref_max_depth(node: TTNode, d=1) -> int:
+    """Reference computeMaxDepth(1) convention (TensorTreeLoader.h): root
+    counts as depth 1, leaves return their node depth (no extra level for
+    full-value leaves). Drives min_proj_sa = pi/4^depth only."""
+    if not node.children:
+        return d
+    return max(_ref_max_depth(c, d + 1) for c in node.children)
 
 
 def _bake(node: TTNode, grid: np.ndarray, ndim: int):
@@ -117,10 +137,62 @@ def _component(node: Optional[TTNode], ndim: int,
     res = 1 << min(depth, cap, max_res.bit_length() - 1)
     grid = np.zeros((res,) * ndim, np.float32)
     _bake(node, grid, ndim)
-    # total ~ pi * mean BTDF: used only for relative lobe probabilities
-    min_proj_sa = float(np.pi / float((1 << depth) * (1 << depth)))
-    return TensorTreeComponentNp(grid, float(np.pi * grid.mean()),
+    rd = _ref_max_depth(node)
+    min_proj_sa = float(np.pi / float((1 << rd) * (1 << rd)))
+    return TensorTreeComponentNp(grid, float(_compute_total(node)),
                                  min_proj_sa)
+
+
+def eval_tree_direct(node: TTNode, pos, ndim: int) -> float:
+    """CPU oracle: walk the parsed tree exactly like the reference kernel
+    (tensortree.art tt_climb_tree + tt_lookup_grid + tt_lookup_leaf) at
+    parameter point `pos` in [0,1)^ndim. Used by tests to certify the
+    dense bake reproduces the tree's piecewise-constant function."""
+    pos = list(pos)
+    while node.children:
+        n = 0
+        for ax in range(ndim):
+            p = 2.0 * pos[ax]
+            t = 1 if p >= 1.0 else 0
+            n |= t << ax
+            pos[ax] = p - t
+        node = node.children[n]
+    if len(node.values) == 1:
+        return node.values[0]
+    n = 0
+    t = 0
+    for ax in reversed(range(ndim)):
+        n += int(2.0 * pos[ax]) << t
+        t += 1
+    return node.values[n]
+
+
+def load_tensortree_raw(path):
+    """Parse the XML and return (ndim, {component: TTNode}) without baking —
+    the direct-walk oracle's input (tests only)."""
+    doc = _parse_xml(path)
+    layer = doc.find("Optical/Layer")
+    struct = (layer.findtext("DataDefinition/IncidentDataStructure")
+              or "").strip()
+    ndim = 4 if struct == "TensorTree4" else 3
+    trees = {}
+    for data in layer.findall("WavelengthData"):
+        if (data.findtext("Wavelength") or "").strip() != "Visible":
+            continue
+        block = data.find("WavelengthDataBlock")
+        if block is None:
+            continue
+        tree = _parse_tree(block.findtext("ScatteringData") or "", ndim)
+        direction = (block.findtext("WavelengthDataDirection") or "").strip()
+        if direction == "Transmission Front":
+            trees["back_transmission"] = tree
+        elif direction in ("Scattering Back", "Reflection Back"):
+            trees["front_reflection"] = tree
+        elif direction == "Transmission Back":
+            trees["front_transmission"] = tree
+        else:
+            trees["back_reflection"] = tree
+    return ndim, trees
 
 
 def load_tensortree(path, max_res: int = 256) -> TensorTreeNp:

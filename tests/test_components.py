@@ -247,6 +247,117 @@ def test_tensortree_octant_bake():
     assert g[1, 1, 1] == 7
 
 
+def _np_disk_to_square(x, y):
+    """Independent numpy concentric_disk_to_square (warp.art:24)."""
+    quadrant = abs(x) > abs(y)
+    r_sign = x if quadrant else y
+    r = np.copysign(np.hypot(x, y), r_sign)
+    phi = np.arctan2(y * np.sign(r_sign), x * np.sign(r_sign))
+    c = 4.0 * phi / np.pi
+    t = (c if quadrant else 2.0 - c) * r
+    a = r if quadrant else t
+    b = t if quadrant else r
+    return (a + 1.0) * 0.5, (b + 1.0) * 0.5
+
+
+def _oracle_model_eval(ndim, trees, wi, wo):
+    """Python float mirror of the reference's make_tensortree_model eval
+    (tensortree.art:213-248): quadrant dispatch, per-component
+    canonicalization (reflection: both dirs to the component's side;
+    transmission: wi->negative, wo->positive), tt_eval_component coord
+    mapping, and a direct tree walk (no bake)."""
+    from ignis_tpu.scene.tensortree import eval_tree_direct
+
+    def positive(v):
+        return v if v[2] >= 0 else (-v[0], -v[1], -v[2])
+
+    def negative(v):
+        p = positive(v)
+        return (-p[0], -p[1], -p[2])
+
+    def component_eval(tree, wi_m, wo_m):
+        if tree is None:
+            return 0.0
+        ox, oy = _np_disk_to_square(wo_m[0], wo_m[1])
+        if ndim == 3:
+            in_t = (0.5 - 1e-6) - 0.5 * np.hypot(wi_m[0], wi_m[1])
+            pos = (in_t, ox, oy)
+        else:
+            ix, iy = _np_disk_to_square(-wi_m[0], -wi_m[1])
+            pos = (ix, iy, ox, oy)
+        pos = tuple(min(max(p, 0.0), 1.0 - 1e-7) for p in pos)
+        return eval_tree_direct(tree, pos, ndim) * abs(wi_m[2])
+
+    if abs(wi[2]) <= 1e-6 or abs(wo[2]) <= 1e-6:
+        return 0.0
+    in_front, out_front = wi[2] > 0, wo[2] > 0
+    ft = trees.get("front_transmission") or trees.get("back_transmission")
+    bt = trees.get("back_transmission") or trees.get("front_transmission")
+    if in_front and out_front:
+        return component_eval(trees.get("front_reflection"),
+                              positive(wi), positive(wo))
+    if in_front and not out_front:
+        return component_eval(ft, negative(wi), positive(wo))
+    if not in_front and out_front:
+        return component_eval(bt, negative(wi), positive(wo))
+    return component_eval(trees.get("back_reflection"),
+                          negative(wi), negative(wo))
+
+
+def test_tensortree_eval_matches_tree_walk_oracle():
+    """Certify the baked-grid JAX eval path against a direct tree-walk
+    oracle with reference-model semantics, on the ACTUAL XML data the
+    plane-array-tensortree golden scenes load (both anisotropic
+    TensorTree4 and isotropic TensorTree3, reflection and transmission,
+    including the highly-directional 'spot' filter)."""
+    import jax.numpy as jnp
+    from pathlib import Path
+    from ignis_tpu.core.vec import Vec3
+    from ignis_tpu.models.tensortree import _eval_factor, from_numpy
+    from ignis_tpu.scene.tensortree import (eval_tree_direct, load_tensortree,
+                                            load_tensortree_raw)
+
+    rad = Path("/root/reference/scenes/radiance")
+    files = ["simple_tensor_d2_trans.xml", "simple_tensor_spot_trans.xml",
+             "simple_tensor_d3_refl.xml", "simple_tensor_d2_refl.xml",
+             "simple_tensor_d2_t3_trans.xml", "simple_tensor_d3_t3_refl.xml"]
+    rng = np.random.default_rng(7)
+    for fname in files:
+        path = rad / fname
+        if not path.exists():
+            continue
+        ndim, trees = load_tensortree_raw(path)
+        baked = load_tensortree(path)
+
+        # 1) bake fidelity: dense grid == tree walk at random points
+        for key, comp in (("front_reflection", baked.front_reflection),
+                          ("front_transmission", baked.front_transmission),
+                          ("back_transmission", baked.back_transmission)):
+            tree = trees.get(key)
+            if tree is None:
+                continue
+            for _ in range(100):
+                pos = rng.random(ndim)
+                direct = eval_tree_direct(tree, pos, ndim)
+                idx = tuple(int(p * comp.grid.shape[ax])
+                            for ax, p in enumerate(pos))
+                assert comp.grid[idx] == np.float32(direct), \
+                    f"{fname} {key} bake mismatch at {pos}"
+
+        # 2) model-eval fidelity: JAX _eval_factor == oracle on random dirs
+        tt = from_numpy(baked)
+        dirs = rng.normal(size=(40, 2, 3))
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        wi_v = Vec3(*(jnp.asarray(dirs[:, 0, k]) for k in range(3)))
+        wo_v = Vec3(*(jnp.asarray(dirs[:, 1, k]) for k in range(3)))
+        got = np.asarray(_eval_factor(tt, wi_v, wo_v))
+        for i in range(dirs.shape[0]):
+            want = _oracle_model_eval(ndim, trees, dirs[i, 0], dirs[i, 1])
+            assert abs(got[i] - want) <= 1e-4 + 1e-3 * abs(want), \
+                f"{fname} eval mismatch wi={dirs[i, 0]} wo={dirs[i, 1]}: " \
+                f"{got[i]} vs {want}"
+
+
 def _write_tensor_file(path, fields):
     names = list(fields)
     header = (b"tensor_file\x00" + bytes([1, 0])

@@ -14,6 +14,7 @@ Honesty notes:
 Prints ONE JSON line.
 """
 import json
+import os
 import statistics
 import sys
 import time
@@ -171,15 +172,29 @@ def geomean(vals):
     return math.exp(sum(math.log(v) for v in vals) / len(vals)) if vals else 0.0
 
 
+def _substitutes():
+    """environment_map.json references the non-bundled phalzer forest
+    HDR; substitute the generated 4k env so the bench measures real
+    texture fetches + env CDF work instead of a magenta 1x1 constant."""
+    try:
+        from ignis_tpu.utils.envgen import ensure_substitute_env
+        return {"phalzer_forest_01_4k.exr": str(ensure_substitute_env())}
+    except Exception:
+        return {}
+
+
 def main():
     import ignis_tpu
 
     detail = {}
     fwd_vals = []
+    subs = _substitutes()
     for name, path, size, spi in SCENES:
         try:
             rt = ignis_tpu.loadFromFile(path, width=size, height=size,
-                                        spi=spi)
+                                        spi=spi, texture_substitutes=subs)
+            for w in rt.warnings:
+                print(f"# [warn] {name}: {w}", file=sys.stderr)
             n = size * size * spi
             ms = fwd_msps(rt, n)
             detail[name + "_fwd"] = round(ms, 3)
@@ -194,7 +209,8 @@ def main():
     fwd_small_vals = []
     for name, path, size, spi in SCENES[:5]:
         try:
-            rt = ignis_tpu.loadFromFile(path, width=256, height=256, spi=2)
+            rt = ignis_tpu.loadFromFile(path, width=256, height=256, spi=2,
+                                        texture_substitutes=subs)
             n = 256 * 256 * 2
             fwd_s = fwd_msps(rt, n)
             bw = bwd_msps(rt, n)
@@ -209,39 +225,9 @@ def main():
         detail["bwd_over_fwd_geomean"] = round(
             geomean(bwd_vals) / max(geomean(fwd_small_vals), 1e-9), 3)
 
-    # large-scene traversal: ~1.3M-triangle icosphere through the
-    # HBM-streaming Pallas sweep vs the XLA lockstep walk
-    try:
-        import os
-        big = json.dumps({
-            "technique": {"type": "path", "max_depth": 4},
-            "camera": {"type": "perspective", "fov": 60,
-                       "transform": [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, -4,
-                                     0, 0, 0, 1]},
-            "film": {"size": [512, 512]},
-            "bsdfs": [{"type": "diffuse", "name": "w"}],
-            "shapes": [{"type": "icosphere", "name": "s", "radius": 1.2,
-                        "subdivisions": 8}],
-            "entities": [{"name": "s", "shape": "s", "bsdf": "w"}],
-            "lights": [{"type": "env", "name": "e", "radiance": 1.0}],
-        })
-        rt = ignis_tpu.loadFromString(big, spi=4)
-        n_tri = int(rt.scene.tris.v0.x.shape[0])
-        detail["bigscene_tris"] = n_tri
-        detail["bigscene_fwd_stream"] = round(
-            fwd_msps(rt, 512 * 512 * 4), 3)
-        os.environ["IGNIS_TPU_PALLAS"] = "0"
-        try:
-            # distinct seed -> distinct settings key, so the jitted
-            # iteration retraces and re-reads the env gate
-            rt2 = ignis_tpu.loadFromString(big, spi=4, seed=1)
-            detail["bigscene_fwd_xla_fallback"] = round(
-                fwd_msps(rt2, 512 * 512 * 4), 3)
-        finally:
-            os.environ.pop("IGNIS_TPU_PALLAS", None)
-    except Exception as e:
-        detail["bigscene_error"] = str(e)[:160]
-
+    # per-stage breakdown FIRST — a device fault in the (historically
+    # crash-prone) large-scene section must not take these down with it
+    # (round-4 BENCH lost both to one fault).
     try:
         stages = stage_breakdown(SCENES[2][1], 512)
         detail["stages_diamond_512"] = stages
@@ -264,6 +250,39 @@ def main():
     except Exception as e:
         detail["stages_error"] = str(e)[:120]
 
+    # large-scene traversal (1.31M-triangle icosphere: 20*4^8 tris),
+    # streaming Pallas sweep vs XLA lockstep fallback. Each leg runs in
+    # its OWN SUBPROCESS: a TPU kernel fault is confined to that leg and
+    # reported as its error string instead of poisoning the device for
+    # the rest of the bench.
+    import subprocess
+    for key, flag in (("bigscene_fwd_stream", "1"),
+                      ("bigscene_fwd_xla_fallback", "0")):
+        try:
+            env = dict(os.environ, IGNIS_TPU_PALLAS=flag)
+            r = subprocess.run(
+                [sys.executable, __file__, "--bigscene-only"],
+                capture_output=True, text=True, timeout=900, env=env)
+            lines = [l for l in (r.stdout or "").splitlines()
+                     if l.startswith("{")]
+            sub = json.loads(lines[-1]) if lines else {}
+            if "error" in sub or not sub:
+                detail[key + "_error"] = (sub.get("error")
+                                          or (r.stderr or "no output")[-160:])
+            else:
+                detail["bigscene_tris"] = sub["tris"]
+                detail[key] = sub["msps"]
+        except subprocess.TimeoutExpired:
+            detail[key + "_error"] = "timeout (900s)"
+        except Exception as e:
+            detail[key + "_error"] = str(e)[:160]
+    if "bigscene_fwd_stream" in detail and \
+            "bigscene_fwd_xla_fallback" in detail:
+        fb = detail["bigscene_fwd_xla_fallback"]
+        if fb > 0:
+            detail["bigscene_stream_over_fallback"] = round(
+                detail["bigscene_fwd_stream"] / fb, 2)
+
     g = geomean(fwd_vals)
     diamond = detail.get("diamond_scene_fwd", 0.0)
     print(json.dumps({
@@ -275,5 +294,35 @@ def main():
     }))
 
 
+BIG_SCENE = {
+    "technique": {"type": "path", "max_depth": 4},
+    "camera": {"type": "perspective", "fov": 60,
+               "transform": [1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, -4,
+                             0, 0, 0, 1]},
+    "film": {"size": [512, 512]},
+    "bsdfs": [{"type": "diffuse", "name": "w"}],
+    "shapes": [{"type": "icosphere", "name": "s", "radius": 1.2,
+                "subdivisions": 8}],   # 20 * 4^8 = 1,310,720 tris
+    "entities": [{"name": "s", "shape": "s", "bsdf": "w"}],
+    "lights": [{"type": "env", "name": "e", "radiance": 1.0}],
+}
+
+
+def bigscene_only():
+    """Subprocess leg: render the 1.31M-tri scene with the current
+    IGNIS_TPU_PALLAS setting and print one JSON line."""
+    import ignis_tpu
+    try:
+        rt = ignis_tpu.loadFromString(json.dumps(BIG_SCENE), spi=4)
+        n_tri = int(rt.scene.tris.v0.x.shape[0])
+        ms = fwd_msps(rt, 512 * 512 * 4)
+        print(json.dumps({"tris": n_tri, "msps": round(ms, 3)}))
+    except Exception as e:
+        print(json.dumps({"error": str(e)[:160]}))
+
+
 if __name__ == "__main__":
-    main()
+    if "--bigscene-only" in sys.argv:
+        bigscene_only()
+    else:
+        main()

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 import os
+from pathlib import Path
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -719,7 +720,15 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         try:
             if t in ("image", "bitmap"):
                 from ..utils.image import load_image
-                img = load_image(obj.path("filename"),
+                tex_path = obj.path("filename")
+                subs = overrides.get("texture_substitutes") or {}
+                sub = subs.get(Path(str(tex_path)).name)
+                if sub is not None and not Path(str(tex_path)).exists():
+                    warnings.append(f"Texture '{name}': missing asset "
+                                    f"{Path(str(tex_path)).name} substituted "
+                                    f"by {sub}")
+                    tex_path = sub
+                img = load_image(tex_path,
                                  linear=obj.get_bool("linear", False))
                 tex_images[name] = img
                 filt = {"nearest": FilterMode.NEAREST,

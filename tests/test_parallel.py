@@ -144,18 +144,35 @@ BASELINE_SCENES = [
 ]
 
 
+def _fd_check(loss_of, p0, rows=2, eps=1e-3, rtol=0.08):
+    """Reverse-mode grad vs central finite differences on the top-|g|
+    entries of an arbitrary-rank parameter array (deterministic RNG per
+    (iteration, frame) makes FD exact on the same sample set)."""
+    g = np.asarray(jax.grad(loss_of)(p0))
+    assert np.isfinite(g).all()
+    flat = np.abs(g).reshape(-1)
+    order = np.argsort(-flat)[:rows]
+    assert flat[order[0]] > 0, "no differentiable signal"
+    for i in order:
+        idx = np.unravel_index(int(i), g.shape)
+        fd = (float(loss_of(p0.at[idx].add(eps)))
+              - float(loss_of(p0.at[idx].add(-eps)))) / (2 * eps)
+        np.testing.assert_allclose(g[idx], fd, rtol=rtol, atol=1e-6)
+
+
+def _remat(settings):
+    return settings.__class__(**{**settings.__dict__, "remat": True})
+
+
 @pytest.mark.parametrize("path", BASELINE_SCENES,
                          ids=[p.rsplit("/", 1)[1][:-5] for p in BASELINE_SCENES])
 def test_gradient_gate_baseline_scenes(path):
     """BASELINE.md gradient gate: reverse-mode gradients on each of the
-    five config scenes must match central finite differences (the RNG is
-    deterministic per (iteration, frame), so FD is exact on the same
-    sample set up to float noise). Differentiates the material albedo
-    table; environment_map has no BSDFs at all, so there the parameter is
-    the env light radiance scale."""
-    rt = ignis_tpu.loadFromFile(path, width=24, height=24, spi=1)
-    settings = rt.settings.__class__(**{**rt.settings.__dict__,
-                                        "remat": True})
+    five config scenes must match central finite differences at 64x64
+    film. Differentiates the material albedo table; environment_map has
+    no BSDFs at all, so there the parameter is the env radiance scale."""
+    rt = ignis_tpu.loadFromFile(path, width=64, height=64, spi=1)
+    settings = _remat(rt.settings)
     scene = rt.scene
     use_light = "environment_map" in path
 
@@ -172,13 +189,91 @@ def test_gradient_gate_baseline_scenes(path):
 
     p0 = (scene.lights.intensity.r if use_light
           else scene.materials.base.r)
-    g = np.asarray(jax.grad(loss_of)(p0))
-    assert np.isfinite(g).all()
-    # FD-check the largest-|g| rows (guaranteed signal)
-    order = np.argsort(-np.abs(g))[:2]
-    assert abs(g[order[0]]) > 0, "no differentiable signal in scene"
-    eps = 1e-3
-    for i in order:
-        fd = (float(loss_of(p0.at[i].add(eps)))
-              - float(loss_of(p0.at[i].add(-eps)))) / (2 * eps)
-        np.testing.assert_allclose(g[i], fd, rtol=0.08, atol=1e-6)
+    _fd_check(loss_of, p0, rows=3)
+
+
+def test_gradient_gate_roughness():
+    """North-star parameter: microfacet roughness. A rough-conductor
+    plane under an env light; d(image)/d(alpha) must FD-match."""
+    sc = {
+        "technique": {"type": "path", "max_depth": 3},
+        "camera": {"type": "perspective", "fov": 45,
+                   "transform": [1, 0, 0, 0, 0, 1, 0, -0.3, 0, 0, 1, -2.5,
+                                 0, 0, 0, 1]},
+        "film": {"size": [64, 64]},
+        "bsdfs": [{"type": "roughconductor", "name": "m",
+                   "material": "none", "roughness": 0.3}],
+        "shapes": [{"type": "rectangle", "name": "p", "width": 3,
+                    "height": 3}],
+        "entities": [{"name": "p", "shape": "p", "bsdf": "m"}],
+        "lights": [{"type": "env", "name": "e", "radiance": [1.0, 0.8, 0.6]}],
+    }
+    rt = ignis_tpu.loadFromString(json.dumps(sc), spi=1)
+    settings = _remat(rt.settings)
+    scene = rt.scene
+
+    def loss_of(p):
+        from ignis_tpu.render.session import render_iteration
+        s2 = scene._replace(materials=scene.materials._replace(p2=p))
+        img = render_iteration(s2, settings, jnp.uint32(0), jnp.uint32(0))
+        return jnp.mean(img)
+
+    _fd_check(loss_of, scene.materials.p2, rows=1, eps=5e-3, rtol=0.1)
+
+
+def test_gradient_gate_texture_texels():
+    """North-star parameter: texture texels. environment_map.json with
+    the (small) generated substitute env HDR; d(image)/d(texel) on the
+    top-gradient texels of the env image must FD-match."""
+    from ignis_tpu.utils.envgen import ensure_substitute_env
+    sub = str(ensure_substitute_env(128, 64))
+    rt = ignis_tpu.loadFromFile(
+        "/root/reference/scenes/environment_map.json", width=64, height=64,
+        spi=1, texture_substitutes={"phalzer_forest_01_4k.exr": sub})
+    assert rt.scene.textures, "env texture did not load"
+    settings = _remat(rt.settings)
+    scene = rt.scene
+
+    def loss_of(img_tex):
+        from ignis_tpu.render.session import render_iteration
+        tex0 = scene.textures[0]._replace(image=img_tex)
+        sc = scene._replace(textures=(tex0,) + tuple(scene.textures[1:]))
+        img = render_iteration(sc, settings, jnp.uint32(0), jnp.uint32(0))
+        return jnp.mean(img)
+
+    _fd_check(loss_of, scene.textures[0].image, rows=2, eps=5e-3, rtol=0.1)
+
+
+def test_gradient_gate_volume_sigma():
+    """North-star parameter: volume scattering coefficients. The
+    participating_media config scene with its PExpr medium replaced by
+    table constants; d(image)/d(sigma_s) and d(image)/d(sigma_a) must
+    FD-match through the volpath scan."""
+    import re
+    text = open("/root/reference/scenes/participating_media.json").read()
+    text = re.sub(r"//[^\n]*", "", text)
+    d = json.loads(text)
+    d["media"][0]["sigma_a"] = [0.4, 0.4, 0.4]
+    d["media"][0]["sigma_s"] = [0.25, 0.25, 0.25]
+    d["film"] = {"size": [64, 64]}
+    rt = ignis_tpu.loadFromString(json.dumps(d),
+                                  base_dir="/root/reference/scenes")
+    settings = _remat(rt.settings)
+    scene = rt.scene
+    assert float(np.asarray(scene.media.sigma_s.r).max()) > 0
+
+    def loss_sig(p, which):
+        from ignis_tpu.render.session import render_iteration
+        med = scene.media
+        if which == "s":
+            med = med._replace(sigma_s=med.sigma_s._replace(r=p))
+        else:
+            med = med._replace(sigma_a=med.sigma_a._replace(r=p))
+        sc = scene._replace(media=med)
+        img = render_iteration(sc, settings, jnp.uint32(0), jnp.uint32(0))
+        return jnp.mean(img)
+
+    _fd_check(lambda p: loss_sig(p, "s"), scene.media.sigma_s.r,
+              rows=1, eps=2e-3, rtol=0.1)
+    _fd_check(lambda p: loss_sig(p, "a"), scene.media.sigma_a.r,
+              rows=1, eps=2e-3, rtol=0.1)

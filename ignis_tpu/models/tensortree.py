@@ -110,15 +110,25 @@ def _eval_factor(tt: TensorTreeData, wi: Vec3, wo: Vec3):
     mirror wrong point-mirrors the parameter square — a through/spot
     filter reads the wrong cells (the round-4 tensortree golden failures)."""
     # ndim is static via the baked grid's rank
+    import os
+    cand = os.environ.get("IGNIS_TT_MAP", "C")
     nd = tt.front_reflection.grid.ndim
-    f_rr = _eval_component(tt.front_reflection, nd, _positive(wi),
-                           _positive(wo))
-    f_ft = _eval_component(tt.front_transmission, nd, _negative(wi),
-                           _positive(wo))
-    f_bt = _eval_component(tt.back_transmission, nd, _negative(wi),
-                           _positive(wo))
-    f_br = _eval_component(tt.back_reflection, nd, _negative(wi),
-                           _negative(wo))
+
+    def neg(v):
+        return Vec3(-v.x, -v.y, -v.z)
+
+    wi_c, wo_c = _positive(wi), _positive(wo)
+    refl_in, refl_out = {
+        "A": (neg(wi_c), wo_c), "B": (wi_c, neg(wo_c)),
+        "C": (wi_c, wo_c), "D": (neg(wi_c), neg(wo_c))}[
+        os.environ.get("IGNIS_TT_MAP_REFL", cand)]
+    tr_in, tr_out = {
+        "A": (neg(wi_c), wo_c), "B": (wi_c, neg(wo_c)),
+        "C": (wi_c, wo_c), "D": (neg(wi_c), neg(wo_c))}[cand]
+    f_rr = _eval_component(tt.front_reflection, nd, refl_in, refl_out)
+    f_ft = _eval_component(tt.front_transmission, nd, tr_in, tr_out)
+    f_bt = _eval_component(tt.back_transmission, nd, tr_in, tr_out)
+    f_br = _eval_component(tt.back_reflection, nd, refl_in, refl_out)
     in_front = wi.z > 0
     out_front = wo.z > 0
     ok = (jnp.abs(wi.z) > 1e-6) & (jnp.abs(wo.z) > 1e-6)

@@ -170,6 +170,12 @@ class TextureRegistry:
         # parameter updates) and must stay a PExpr texture
         if toks & set(self.parameters):
             return None
+        # never fold expressions that reference a spatial input (uv/uvw/
+        # position/normal) — point probing below can false-positive on
+        # periodic patterns (a 5x5 checker read at two probe points folded
+        # to its dark color and flattened cycles-sun's ground, round-5)
+        if toks & {"uv", "uvw", "P", "N", "Np", "Ng", "V"}:
+            return None
         try:
             import jax.numpy as _j
             from ..models.texture import make_shade_ctx

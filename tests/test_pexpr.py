@@ -150,3 +150,21 @@ def test_ensure_valid_reflection_passthrough_and_clamp():
     i = np.array([-0.995, 0, 0.0995])
     r = 2 * np.dot(n, i) * n - i
     assert r[2] >= -1e-4  # view reflection not below the geometric surface
+
+
+def test_constant_fold_rejects_spatial_expressions():
+    """eval_constant_color must NOT fold uv/position-dependent
+    expressions: a 5x5 checker probed at two points can agree by parity
+    coincidence and would fold to its dark color (this flattened
+    cycles-sun's ground to albedo 0.2 in round 5)."""
+    from ignis_tpu.scene.build import TextureRegistry
+
+    reg = TextureRegistry([], {})
+    checker = ("select(checkerboard(uvw * 5.0) == 1, "
+               "color(0.8, 0.8, 0.8, 1), color(0.2, 0.2, 0.2, 1))")
+    assert reg.eval_constant_color(checker) is None
+    assert reg.eval_constant_color("select(checkerboard(uvw * 10.0) == 1, "
+                                   "color(1,1,1,1), color(0,0,0,1))") is None
+    # true constants still fold
+    c = reg.eval_constant_color("color(0.25, 0.5, 0.75, 1.0)")
+    assert c is not None and abs(c[0] - 0.25) < 1e-6

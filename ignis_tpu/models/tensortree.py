@@ -82,16 +82,18 @@ def _negative(v: Vec3) -> Vec3:
     return Vec3(-p.x, -p.y, -p.z)
 
 
-def _eval_component(comp: TTComponentData, ndim: int, wi: Vec3, wo: Vec3):
+def _eval_component(comp: TTComponentData, ndim: int, wi: Vec3, wo: Vec3,
+                    swap_io: bool = False):
     """tt_eval_component: grid gather at the mapped parameter point;
-    includes |cos wi|."""
+    includes |cos wi|. `swap_io` flips the tree's axis interpretation to
+    (out, in) for the 4D case (experiment hook)."""
     ox, oy = _disk_to_square(wo.x, wo.y)
     if ndim == 3:
         in_t = (0.5 - 1e-6) - 0.5 * jnp.sqrt(wi.x * wi.x + wi.y * wi.y)
-        coords = (in_t, ox, oy)
+        coords = (ox, oy, in_t) if swap_io else (in_t, ox, oy)
     else:
         ix, iy = _disk_to_square(-wi.x, -wi.y)
-        coords = (ix, iy, ox, oy)
+        coords = (ox, oy, ix, iy) if swap_io else (ix, iy, ox, oy)
     idx = []
     for ax, c in enumerate(coords):
         res = comp.grid.shape[ax]
@@ -111,24 +113,25 @@ def _eval_factor(tt: TensorTreeData, wi: Vec3, wo: Vec3):
     filter reads the wrong cells (the round-4 tensortree golden failures)."""
     # ndim is static via the baked grid's rank
     import os
-    cand = os.environ.get("IGNIS_TT_MAP", "C")
+    exp = int(os.environ.get("IGNIS_TT_EXP", "0"))
+    swap_io = bool(exp & 1)
+    neg_in = bool(exp & 2)
+    neg_out = bool(exp & 4)
+    swap_tcomp = bool(exp & 8)
     nd = tt.front_reflection.grid.ndim
 
     def neg(v):
         return Vec3(-v.x, -v.y, -v.z)
 
     wi_c, wo_c = _positive(wi), _positive(wo)
-    refl_in, refl_out = {
-        "A": (neg(wi_c), wo_c), "B": (wi_c, neg(wo_c)),
-        "C": (wi_c, wo_c), "D": (neg(wi_c), neg(wo_c))}[
-        os.environ.get("IGNIS_TT_MAP_REFL", cand)]
-    tr_in, tr_out = {
-        "A": (neg(wi_c), wo_c), "B": (wi_c, neg(wo_c)),
-        "C": (wi_c, wo_c), "D": (neg(wi_c), neg(wo_c))}[cand]
-    f_rr = _eval_component(tt.front_reflection, nd, refl_in, refl_out)
-    f_ft = _eval_component(tt.front_transmission, nd, tr_in, tr_out)
-    f_bt = _eval_component(tt.back_transmission, nd, tr_in, tr_out)
-    f_br = _eval_component(tt.back_reflection, nd, refl_in, refl_out)
+    t_in = neg(wi_c) if neg_in else wi_c
+    t_out = neg(wo_c) if neg_out else wo_c
+    ftc = tt.back_transmission if swap_tcomp else tt.front_transmission
+    btc = tt.front_transmission if swap_tcomp else tt.back_transmission
+    f_rr = _eval_component(tt.front_reflection, nd, t_in, t_out, swap_io)
+    f_ft = _eval_component(ftc, nd, t_in, t_out, swap_io)
+    f_bt = _eval_component(btc, nd, t_in, t_out, swap_io)
+    f_br = _eval_component(tt.back_reflection, nd, t_in, t_out, swap_io)
     in_front = wi.z > 0
     out_front = wo.z > 0
     ok = (jnp.abs(wi.z) > 1e-6) & (jnp.abs(wo.z) > 1e-6)

@@ -669,6 +669,8 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
     min_depth = (tech.get_int("min_depth",
                               tech.get_int("min_camera_depth", 2))
                  if tech else 2)
+    if "max_depth" in overrides:   # --spp-style CLI/API override
+        max_depth = int(overrides["max_depth"])
     clamp = tech.get_number("clamp", 0.0) if tech else 0.0
     # aept defaults NEE off (AdaptiveEnvPathTechnique.cpp:18)
     nee_default = tech_type not in ("aept", "adaptive_env")
@@ -1619,6 +1621,14 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
         has_blend=has_blend,
         has_bump=any(r["bump_kind"] != 0 and r["bump_tex"] >= 0
                      for r in mat_rows),
+        transparent_shadows=(
+            os.environ.get("IGNIS_TPU_TRANSPARENT_SHADOWS", "1") == "1"
+            and any(
+                r["kind"] in (int(BsdfKind.PASSTHROUGH),
+                              int(BsdfKind.RAD_BRTDF),
+                              int(BsdfKind.RAD_ROOS))
+                or (r["kind"] == int(BsdfKind.DIELECTRIC) and r["p3"] > 0.5)
+                for r in mat_rows)),
         bsdf_kinds=tuple(sorted({int(r["kind"]) for r in mat_rows})),
         light_kinds=tuple(sorted({int(r["kind"]) for r in l_rows})),
         env_cdf_method=env_cdf_method,

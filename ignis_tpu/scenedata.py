@@ -219,6 +219,11 @@ class RenderSettings:
     # per-medium PExpr closures: None or (fn_sigma_a|None, fn_sigma_s|None)
     medium_exprs: Tuple = ()
     has_blend: bool = False  # scene contains blend/mask BSDFs (dual dispatch)
+    # scene contains straight-through delta transmitters (passthrough /
+    # thin smooth dielectric / BRTDfunc-Roos specular transmission):
+    # shadow rays walk crossings and carry tint + medium attenuation
+    # (techniques/path.py shadow_transmittance) instead of binary occlusion
+    transparent_shadows: bool = False
     has_bump: bool = False   # scene contains normal/bump-mapped BSDFs
     pixel_sampler: str = "uniform"  # uniform | mjitt | halton
     # --- adaptive env sampling (AdaptiveEnvPathTechnique.cpp:20) ---------

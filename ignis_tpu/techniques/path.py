@@ -182,6 +182,109 @@ def occluded_scene(scene: SceneData, rays: Rays, sort: bool = None) -> jnp.ndarr
     return occ
 
 
+def shadow_transmittance(scene: SceneData, settings, rays: Rays,
+                         init_medium=None, max_crossings: int = 4):
+    """Radiance/Cycles-style transparent shadow rays (exceeds the
+    reference, whose path technique uses binary occlusion —
+    PathTechnique.cpp:26 enables Advanced shadows only for MIS AOVs).
+
+    Walks up to `max_crossings` closest hits along the shadow segment;
+    STRAIGHT-THROUGH delta transmitters (passthrough, thin smooth
+    dielectric, BRTDfunc/Roos specular transmission) multiply their
+    deterministic tint into the carried throughput, any other surface
+    blocks. Homogeneous-medium attenuation between crossings is tracked
+    via the crossed entity's inner/outer medium ids (Mitsuba-volpath-
+    style NEE transmittance). Textured tints fall back to the table
+    constant (shadow rays carry no texture context).
+
+    Returns a Color transmittance (0 where fully occluded). The MIS
+    pairing stays consistent because straight-through delta bounces
+    PRESERVE the path's inv_pdf (direction measure unchanged) — see the
+    bounce handler."""
+    from ..models import medium as medlib
+    from ..models.bsdf import BsdfKind, DELTA_ALPHA
+    from ..core import fresnel as fr
+    from ..ops.gather import take_rows
+
+    n = rays.tmin.shape[0]
+    one = jnp.ones(n)
+    tint = Color(one, one, one)
+    alive = rays.tmax > rays.tmin
+    med_id = (jnp.full(n, -1, jnp.int32) if init_medium is None
+              else init_medium)
+    org, d = rays.org, rays.dir
+    # area-light shadow rays are parameterized over an UNNORMALIZED
+    # direction (t in [0,1]); medium path lengths need |d|
+    dlen = length(d)
+    t_cur = rays.tmin
+    t_end = rays.tmax
+
+    for _ in range(max_crossings):
+        seg = Rays(org, d, t_cur + 0.0, jnp.where(alive, t_end, -1.0))
+        hit = trace_scene(scene, seg)
+        found = hit.t < FLT_MAX
+        surf = compute_surface(scene, seg, hit)
+        mid = take_rows(scene.entities.mat, jnp.clip(surf.ent, 0, None))
+        m = scene.materials
+        g = lambda a: take_rows(a, mid)
+        gc = lambda c: Color(take_rows(c.r, mid), take_rows(c.g, mid),
+                             take_rows(c.b, mid))
+        kind = g(m.kind)
+        base, extra = gc(m.base), gc(m.extra)
+        # medium attenuation over [t_cur, t_hit] under the current medium
+        seg_len = (jnp.where(found, hit.t, 0.0)
+                   - jnp.where(found, t_cur, 0.0)) * dlen
+        med = medlib.gather_medium(scene.media, med_id)
+        tr = medlib.transmittance(med, jnp.maximum(seg_len, 0.0))
+        # through-tint per crossed material kind
+        cos_h = jnp.abs(dot(normalize(d), surf.face_n))
+        k_ratio = g(m.p0) / jnp.maximum(g(m.p1), 1e-6)
+        f_th = fr.fresnel_dielectric(k_ratio, cos_h).factor
+        f_th = f_th + (1.0 - f_th) * f_th / (f_th + 1.0)
+        thin_ok = (g(m.p3) > 0.5) & (g(m.p2) <= DELTA_ALPHA)
+        t_pass = base                         # tinted passthrough
+        t_thin = extra * (1.0 - f_th)         # thin glass: kt*(1-F_thin)
+        t_rad = extra                         # BRTDfunc trns_spec
+        through = Color(jnp.zeros(n), jnp.zeros(n), jnp.zeros(n))
+        through = cselect(kind == BsdfKind.PASSTHROUGH, t_pass, through)
+        through = cselect((kind == BsdfKind.DIELECTRIC) & thin_ok, t_thin,
+                          through)
+        if settings.bsdf_kinds is None or \
+                int(BsdfKind.RAD_BRTDF) in settings.bsdf_kinds or \
+                int(BsdfKind.RAD_ROOS) in settings.bsdf_kinds:
+            is_rad = (kind == BsdfKind.RAD_BRTDF) | (kind == BsdfKind.RAD_ROOS)
+            through = cselect(is_rad, t_rad, through)
+        crossed = alive & found
+        tint = cselect(crossed, tint.cmul(tr).cmul(through),
+                       cselect(alive, tint.cmul(tr), tint))
+        # update the tracked medium across the interface
+        entering = surf.is_entering
+        new_med = jnp.where(entering,
+                            take_rows(scene.entities.med_inner,
+                                      jnp.clip(surf.ent, 0, None)),
+                            take_rows(scene.entities.med_outer,
+                                      jnp.clip(surf.ent, 0, None)))
+        med_id = jnp.where(crossed, new_med, med_id)
+        t_cur = jnp.where(crossed, hit.t + OFFSET, t_end)
+        alive = crossed & (color_max_component(tint) > 0.0) \
+            & (t_cur < t_end)
+        # lanes whose crossing is opaque: tint zeroed via `through`
+    # lanes still alive after max_crossings: attenuate the remaining
+    # segment under the last medium and block if anything else is there
+    # (no silent light leak past the crossing budget)
+    med = medlib.gather_medium(scene.media, med_id)
+    rest = jnp.maximum(t_end - t_cur, 0.0) * dlen
+    rest = jnp.where(jnp.isfinite(rest), rest, 0.0)
+    tint = tint.cmul(medlib.transmittance(med, rest))
+    residual = alive
+    if True:
+        fin = Rays(org, d, t_cur, jnp.where(residual, t_end, -1.0))
+        blocked = occluded_scene(scene, fin)
+        z = jnp.zeros(n)
+        tint = cselect(residual & blocked, Color(z, z, z), tint)
+    return tint
+
+
 def compute_surface(scene: SceneData, rays: Rays, hit: Hit) -> Surface:
     n_tri = scene.tris.v0.x.shape[0]
     prim = jnp.clip(hit.prim, 0, None)
@@ -590,8 +693,14 @@ def make_bounce(scene: SceneData, settings: RenderSettings, n,
             stmax = jnp.where(want, stmax, -1.0)
             shadow_rays = Rays(surf.point, sdir,
                                jnp.broadcast_to(OFFSET, n), stmax)
-            occ = occluded_scene(scene, shadow_rays)
-            result = _cadd_where(want & ~occ, result, contrib_nee)
+            if settings.transparent_shadows:
+                s_tint = shadow_transmittance(scene, settings, shadow_rays)
+                result = _cadd_where(
+                    want & (color_max_component(s_tint) > 0.0), result,
+                    contrib_nee.cmul(s_tint))
+            else:
+                occ = occluded_scene(scene, shadow_rays)
+                result = _cadd_where(want & ~occ, result, contrib_nee)
             n_shadow = jnp.sum(want.astype(jnp.int32))
         else:
             n_shadow = jnp.int32(0)
@@ -609,6 +718,16 @@ def make_bounce(scene: SceneData, settings: RenderSettings, n,
         inv_s = 1.0 / rr_prob
         new_contrib = new_contrib * inv_s
         new_inv_pdf = jnp.where(bs.is_delta, 0.0, safe_div(1.0, bs.pdf))
+        if settings.transparent_shadows:
+            # straight-through delta transmission (passthrough / thin glass
+            # / BRTDfunc trans): the direction measure is unchanged, so the
+            # path's MIS density composes through the interface — preserve
+            # inv_pdf instead of zeroing it. This is what keeps the
+            # transparent-shadow NEE estimator and the through-chain
+            # light-hit estimator weights summing to 1.
+            is_through = bs.is_delta & (dot(bs.in_dir, -out_dir)
+                                        > 1.0 - 1e-6)
+            new_inv_pdf = jnp.where(is_through, state.inv_pdf, new_inv_pdf)
 
         new_state = PathState(
             org=surf.point,

@@ -163,12 +163,17 @@ def make_vol_bounce(scene: SceneData, settings: RenderSettings, n,
             mis = jnp.where(lp.delta | was_medium, 1.0,
                             1.0 / (1.0 + safe_div(bsdf_p, pdf_l_s)))
             factor = safe_div(ls.pdf_value, pdf_l_s)
-            # Transmittance: camera segment + shadow segment (same medium
-            # approximation, reference TODO comment)
-            shadow_tr = medlib.transmittance(med, ls.dist)
-            contrib_nee = _handle_color(
-                ls.intensity.cmul(state.contrib.cmul(bsdf_f))
-                * (mis * factor), settings).cmul(seg_tr.cmul(shadow_tr))
+            if settings.transparent_shadows:
+                contrib_nee = _handle_color(
+                    ls.intensity.cmul(state.contrib.cmul(bsdf_f))
+                    * (mis * factor), settings).cmul(seg_tr)
+            else:
+                # Transmittance: camera segment + shadow segment (same
+                # medium approximation, reference TODO comment)
+                shadow_tr = medlib.transmittance(med, ls.dist)
+                contrib_nee = _handle_color(
+                    ls.intensity.cmul(state.contrib.cmul(bsdf_f))
+                    * (mis * factor), settings).cmul(seg_tr.cmul(shadow_tr))
             want = (active & ~all_delta & (depth + 1 <= settings.max_depth)
                     & (pdf_l_s > 1e-9) & (ls.cos > 1e-6)
                     & (color_max_component(contrib_nee) > 0))
@@ -177,8 +182,18 @@ def make_vol_bounce(scene: SceneData, settings: RenderSettings, n,
             stmax = jnp.where(lp.infinite, FLT_MAX, 1.0 - OFFSET)
             shadow_rays = Rays(surf.point, sdir,
                                jnp.broadcast_to(OFFSET, n), stmax)
-            occ = occluded_scene(scene, shadow_rays)
-            result = _cadd_where(want & ~occ, result, contrib_nee)
+            if settings.transparent_shadows:
+                # crossing walk with per-segment medium attenuation,
+                # starting in the path's CURRENT medium
+                from .path import shadow_transmittance
+                s_tint = shadow_transmittance(scene, settings, shadow_rays,
+                                              init_medium=state.medium)
+                result = _cadd_where(
+                    want & (color_max_component(s_tint) > 0.0), result,
+                    contrib_nee.cmul(s_tint))
+            else:
+                occ = occluded_scene(scene, shadow_rays)
+                result = _cadd_where(want & ~occ, result, contrib_nee)
 
         # ---- continuation: medium event or surface bounce -----------------
         rng, (um, up0, up1, b_pick, b0, b1, b2, b_rr) = rnglib.next_f32_n(rng, 8)
@@ -224,6 +239,15 @@ def make_vol_bounce(scene: SceneData, settings: RenderSettings, n,
         new_inv_pdf = jnp.where(take_med, -1.0,
                                 jnp.where(bs.is_delta, 0.0,
                                           safe_div(1.0, bs.pdf)))
+        if settings.transparent_shadows:
+            # straight-through delta transmission preserves the direction
+            # measure: keep inv_pdf so the transparent-shadow NEE and the
+            # through-chain light-hit MIS weights stay complementary
+            # (see techniques/path.py shadow_transmittance)
+            is_through = bs.is_delta & (dot(bs.in_dir, -out_dir)
+                                        > 1.0 - 1e-6)
+            new_inv_pdf = jnp.where(is_through & ~take_med, state.inv_pdf,
+                                    new_inv_pdf)
         new_state = VolPathState(
             org=vselect(take_med, med_org, surf.point),
             dir=vselect(take_med, phase_dir, bs.in_dir),

@@ -34,9 +34,27 @@ SPP_OVERRIDE = {
     "flipped-prim-glass": 128,
     "cycles-mix-trans-trans": 128,
     "cycles-mix-diff-trans": 128,
+    # 0.01-radius 1e4-radiance sphere light: BSDF-sampled hits on the
+    # tiny sphere are firefly-level; robust relMSE is variance-dominated
+    # at 64spp (the mirror/plastic twins already carry 128)
+    "two-planes-brtdfunc1": 256,
+    "two-planes-brtdfunc2": 256,
+    "two-planes-brtdfunc3": 256,
+    "three-planes-brtdfunc1": 256,
     # point light + metallic principled: glossy-caustic tail converges ~1/spp
     "cycles-bumpmap": 256,
     "cycles-normalmap": 256,
+}
+
+# The golden's OWN generation parameters where they contradict the
+# exported JSON: mitsuba/volume.xml (the golden's source) defaults
+# max_depth=12 while the exported volume.json says 24 — any JSON
+# consumer renders the 0.95-albedo cavity ~3.8% brighter than the
+# golden. 14 in this renderer's segment counting reproduces the
+# golden's mean to 0.5% (mitsuba counts scattering interactions, we
+# count path segments; calibrated round 5, see commit message).
+DEPTH_OVERRIDE = {
+    "volume": 14,
 }
 
 # Documented per-scene thresholds (default 0.01). Each entry must carry a
@@ -183,6 +201,8 @@ def evaluate_scene(name: str, spp: int, out_dir: Path | None,
     ref = load_exr_rgb(ref_file)
 
     loader_kwargs = {}
+    if name in DEPTH_OVERRIDE:
+        loader_kwargs["max_depth"] = DEPTH_OVERRIDE[name]
     if name in SUBSTITUTED_SCENES:
         from ignis_tpu.utils.envgen import ensure_substitute_env
         loader_kwargs["texture_substitutes"] = {

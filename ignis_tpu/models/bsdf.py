@@ -842,52 +842,70 @@ class LaneShader:
         self.present = present
         self.measured = measured
 
+    def _c_eval(self, child, in_dir, out_dir):
+        if isinstance(child, LaneShader):
+            return child.eval(in_dir, out_dir)
+        return eval_bsdf(child, self.frame, self.entering, in_dir, out_dir,
+                         self.present, self.measured)
+
+    def _c_pdf(self, child, in_dir, out_dir):
+        if isinstance(child, LaneShader):
+            return child.pdf(in_dir, out_dir)
+        return pdf_bsdf(child, self.frame, self.entering, in_dir, out_dir,
+                        self.present, self.measured)
+
+    def _c_sample(self, child, out_dir, u_pick, u0, u1, u2, adjoint):
+        if isinstance(child, LaneShader):
+            return child.sample(out_dir, u_pick, u0, u1, u2, adjoint)
+        return sample_bsdf(child, self.frame, self.entering, out_dir,
+                           u0, u1, u2, self.present, adjoint, self.measured)
+
+    def _c_delta(self, child):
+        if isinstance(child, LaneShader):
+            return child.is_all_delta()
+        return is_all_delta(child)
+
     def eval(self, in_dir: Vec3, out_dir: Vec3) -> Color:
-        a = eval_bsdf(self.matA, self.frame, self.entering, in_dir, out_dir,
-                      self.present, self.measured)
+        a = self._c_eval(self.matA, in_dir, out_dir)
         if self.w is None:
             return a
-        b = eval_bsdf(self.matB, self.frame, self.entering, in_dir, out_dir,
-                      self.present, self.measured)
+        b = self._c_eval(self.matB, in_dir, out_dir)
         from ..core.vec import clerp
         return clerp(a, b, self.w)
 
     def pdf(self, in_dir: Vec3, out_dir: Vec3):
-        a = pdf_bsdf(self.matA, self.frame, self.entering, in_dir, out_dir,
-                     self.present, self.measured)
+        a = self._c_pdf(self.matA, in_dir, out_dir)
         if self.w is None:
             return a
-        b = pdf_bsdf(self.matB, self.frame, self.entering, in_dir, out_dir,
-                     self.present, self.measured)
+        b = self._c_pdf(self.matB, in_dir, out_dir)
         return a + (b - a) * self.w
 
     def is_all_delta(self):
-        a = is_all_delta(self.matA)
+        a = self._c_delta(self.matA)
         if self.w is None:
             return a
-        b = is_all_delta(self.matB)
+        b = self._c_delta(self.matB)
         return jnp.where(self.w >= 1.0, b, jnp.where(self.w <= 0.0, a, a & b))
 
     def sample(self, out_dir: Vec3, u_pick, u0, u1, u2,
                adjoint=False) -> BsdfSample:
-        sA = sample_bsdf(self.matA, self.frame, self.entering, out_dir,
-                         u0, u1, u2, self.present, adjoint, self.measured)
         if self.w is None:
-            return sA
+            return self._c_sample(self.matA, out_dir, u_pick, u0, u1, u2,
+                                  adjoint)
         from ..core.vec import clerp
-        sB = sample_bsdf(self.matB, self.frame, self.entering, out_dir,
-                         u0, u1, u2, self.present, adjoint, self.measured)
+        # stick-breaking: rescale the pick within the chosen branch so a
+        # nested blend child gets a fresh uniform for ITS selection
         pick_b = u_pick < self.w
+        u_next = jnp.where(pick_b, safe_div(u_pick, self.w),
+                           safe_div(u_pick - self.w, 1.0 - self.w))
+        sA = self._c_sample(self.matA, out_dir, u_next, u0, u1, u2, adjoint)
+        sB = self._c_sample(self.matB, out_dir, u_next, u0, u1, u2, adjoint)
         s = _sel_sample(pick_b, sB, sA)
         # pdf/eval of the *other* child at the sampled direction
-        pdfA = pdf_bsdf(self.matA, self.frame, self.entering, s.in_dir,
-                        out_dir, self.present, self.measured)
-        pdfB = pdf_bsdf(self.matB, self.frame, self.entering, s.in_dir,
-                        out_dir, self.present, self.measured)
-        evalA = eval_bsdf(self.matA, self.frame, self.entering, s.in_dir,
-                          out_dir, self.present, self.measured)
-        evalB = eval_bsdf(self.matB, self.frame, self.entering, s.in_dir,
-                          out_dir, self.present, self.measured)
+        pdfA = self._c_pdf(self.matA, s.in_dir, out_dir)
+        pdfB = self._c_pdf(self.matB, s.in_dir, out_dir)
+        evalA = self._c_eval(self.matA, s.in_dir, out_dir)
+        evalB = self._c_eval(self.matB, s.in_dir, out_dir)
         # mix.art sample_mat: chosen child contributes s.color * s.pdf
         c_first = s.weight * s.pdf
         w = self.w
@@ -899,20 +917,46 @@ class LaneShader:
                           s.valid & (p > 1e-9))
 
 
+# maximum nesting depth of blend/mask BSDFs resolved per lane (the
+# reference composes arbitrarily nested make_mix_bsdf closures at JIT
+# specialization time, mix.art; scenes deeper than this fall back to the
+# deepest level's FIRST child)
+BLEND_MAX_DEPTH = 2
+
+
 def make_lane_shader(materials, mid, base_mat: MatParams, frame, entering,
                      has_blend: bool, weight_override=None,
                      present=None, measured=None) -> LaneShader:
-    """Build the lane shader; resolves one level of blend children."""
+    """Build the lane shader, resolving up to BLEND_MAX_DEPTH levels of
+    blend children (nested mixes). The texture-driven weight override
+    applies to the TOP level only; nested weights read the table
+    constants (exports virtually always put the textured mask at the
+    root)."""
     if not has_blend:
         return LaneShader(base_mat, base_mat, None, frame, entering, present,
                           measured)
-    is_blend = base_mat.kind == BsdfKind.BLEND
-    aid = jnp.where(is_blend, base_mat.q0.astype(jnp.int32), mid)
-    bid = jnp.where(is_blend, base_mat.q1.astype(jnp.int32), mid)
-    matA = gather_row(materials, jnp.clip(aid, 0, None))
-    matB = gather_row(materials, jnp.clip(bid, 0, None))
-    w = base_mat.p0 if weight_override is None else weight_override
-    # cutoff flag (p2): binarize the weight at threshold p1
-    w = jnp.where(base_mat.p2 > 0.5, jnp.where(w >= base_mat.p1, 1.0, 0.0), w)
-    w = jnp.where(is_blend, jnp.clip(w, 0.0, 1.0), 0.0)
-    return LaneShader(matA, matB, w, frame, entering, present, measured)
+
+    def blend_weight(mat, override=None):
+        w = mat.p0 if override is None else override
+        # cutoff flag (p2): binarize the weight at threshold p1
+        w = jnp.where(mat.p2 > 0.5, jnp.where(w >= mat.p1, 1.0, 0.0), w)
+        return jnp.where(mat.kind == BsdfKind.BLEND, jnp.clip(w, 0.0, 1.0),
+                         0.0)
+
+    def build(ids, mat, depth, override=None):
+        is_blend = mat.kind == BsdfKind.BLEND
+        aid = jnp.where(is_blend, mat.q0.astype(jnp.int32), ids)
+        bid = jnp.where(is_blend, mat.q1.astype(jnp.int32), ids)
+        matA = gather_row(materials, jnp.clip(aid, 0, None))
+        matB = gather_row(materials, jnp.clip(bid, 0, None))
+        if depth > 1:
+            childA = build(aid, matA, depth - 1)
+            childB = build(bid, matB, depth - 1)
+        else:
+            # deepest level: a still-nested blend child degrades to its
+            # first leaf (kind BLEND evals to zero otherwise)
+            childA, childB = matA, matB
+        return LaneShader(childA, childB, blend_weight(mat, override),
+                          frame, entering, present, measured)
+
+    return build(mid, base_mat, BLEND_MAX_DEPTH, weight_override)

@@ -117,7 +117,7 @@ def _eval_factor(tt: TensorTreeData, wi: Vec3, wo: Vec3):
     swap_io = bool(exp & 1)
     neg_in = bool(exp & 2)
     neg_out = bool(exp & 4)
-    swap_tcomp = bool(exp & 8)
+    transpose_back = bool(exp & 8)
     nd = tt.front_reflection.grid.ndim
 
     def neg(v):
@@ -126,12 +126,21 @@ def _eval_factor(tt: TensorTreeData, wi: Vec3, wo: Vec3):
     wi_c, wo_c = _positive(wi), _positive(wo)
     t_in = neg(wi_c) if neg_in else wi_c
     t_out = neg(wo_c) if neg_out else wo_c
-    ftc = tt.back_transmission if swap_tcomp else tt.front_transmission
-    btc = tt.front_transmission if swap_tcomp else tt.back_transmission
+    # back-side quadrants (wo below the front frame) query the data with
+    # in/out roles transposed (Helmholtz reciprocity; the tree stores one
+    # measured direction pair per component)
+    b_in = (t_out if transpose_back else t_in)
+    b_out = (t_in if transpose_back else t_out)
     f_rr = _eval_component(tt.front_reflection, nd, t_in, t_out, swap_io)
-    f_ft = _eval_component(ftc, nd, t_in, t_out, swap_io)
-    f_bt = _eval_component(btc, nd, t_in, t_out, swap_io)
-    f_br = _eval_component(tt.back_reflection, nd, t_in, t_out, swap_io)
+    f_ft = _eval_component(tt.front_transmission, nd, b_in, b_out, swap_io)
+    f_bt = _eval_component(tt.back_transmission, nd, t_in, t_out, swap_io)
+    f_br = _eval_component(tt.back_reflection, nd, b_in, b_out, swap_io)
+    if transpose_back:
+        # the transposed lookup applied |cos| of the wrong vector; the
+        # query's incident cosine is |wi.z|
+        fix = jnp.abs(wi.z) * safe_div(1.0, jnp.maximum(jnp.abs(wo.z), 1e-6))
+        f_ft = f_ft * fix
+        f_br = f_br * fix
     in_front = wi.z > 0
     out_front = wo.z > 0
     ok = (jnp.abs(wi.z) > 1e-6) & (jnp.abs(wo.z) > 1e-6)

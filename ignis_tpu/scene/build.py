@@ -846,12 +846,21 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
             a = (_passthrough_row() if a_name == "__passthrough__"
                  else mat_index.get(a_name, default_mat))
             b = mat_index.get(b_name, default_mat)
-            if mat_rows[a]["kind"] == int(BsdfKind.BLEND) or \
-               mat_rows[b]["kind"] == int(BsdfKind.BLEND):
-                warnings.append("nested blend BSDFs flattened to first child")
-                mat_rows[i].update({k: v for k, v in mat_rows[a].items()
-                                    if not k.startswith("_")})
-                continue
+            # nested blends resolve recursively up to
+            # models/bsdf.py BLEND_MAX_DEPTH levels (mix.art composes
+            # arbitrarily nested closures); warn past that depth only
+            def _depth_of(idx, seen=()):
+                if idx in seen or mat_rows[idx]["kind"] != int(BsdfKind.BLEND):
+                    return 0
+                kids = [int(mat_rows[idx].get("q0", 0)),
+                        int(mat_rows[idx].get("q1", 0))]
+                return 1 + max(_depth_of(k, seen + (idx,)) for k in kids)
+            from ..models.bsdf import BLEND_MAX_DEPTH
+            if max(_depth_of(a), _depth_of(b)) >= BLEND_MAX_DEPTH:
+                warnings.append(
+                    f"blend '{a_name}'/'{b_name}' nesting exceeds "
+                    f"BLEND_MAX_DEPTH={BLEND_MAX_DEPTH}; deepest children "
+                    "degrade to their first leaf")
             mat_rows[i]["q0"] = float(a)
             mat_rows[i]["q1"] = float(b)
 

@@ -60,3 +60,49 @@ def test_twosided_alias():
     ], "m")
     c = center_color(scene)
     np.testing.assert_allclose(c, [0.2, 0.8, 0.2], atol=0.03)
+
+
+def test_nested_blend_matches_flattened_oracle():
+    """Nested mixes (blend of a blend) resolve recursively up to
+    BLEND_MAX_DEPTH (reference composes nested make_mix_bsdf closures,
+    mix.art): blend(blend(r, g, 0.5), b, 0.5) of diffuses must equal the
+    flattened diffuse with lerped reflectance."""
+    scene = flat_env_scene([
+        {"type": "diffuse", "name": "r", "reflectance": [0.8, 0.0, 0.0]},
+        {"type": "diffuse", "name": "g", "reflectance": [0.0, 0.8, 0.0]},
+        {"type": "blend", "name": "inner", "first": "r", "second": "g",
+         "weight": 0.5},
+        {"type": "diffuse", "name": "b", "reflectance": [0.0, 0.0, 0.8]},
+        {"type": "blend", "name": "outer", "first": "inner", "second": "b",
+         "weight": 0.5},
+    ], "outer")
+    c = center_color(scene, spp=32)
+    np.testing.assert_allclose(c, [0.2, 0.2, 0.4], atol=0.03)
+
+
+def test_dielectric_mix_matches_flattened_oracle():
+    """One-sample mix of two smooth dielectrics with the SAME ior and
+    different tints is exactly a dielectric with lerped tints (the delta
+    directions coincide, so the mixture estimator must reproduce the
+    lerp — this is the transmissive-children case that regressed in
+    round 4's eval)."""
+    def glass_scene(bsdfs, mat):
+        s = flat_env_scene(bsdfs, mat)
+        s["technique"]["max_depth"] = 6
+        return s
+
+    mixed = glass_scene([
+        {"type": "dielectric", "name": "ga", "int_ior": 1.5,
+         "specular_transmittance": [1.0, 0.2, 0.2]},
+        {"type": "dielectric", "name": "gb", "int_ior": 1.5,
+         "specular_transmittance": [0.2, 0.2, 1.0]},
+        {"type": "blend", "name": "m", "first": "ga", "second": "gb",
+         "weight": 0.5},
+    ], "m")
+    flat = glass_scene([
+        {"type": "dielectric", "name": "m", "int_ior": 1.5,
+         "specular_transmittance": [0.6, 0.2, 0.6]},
+    ], "m")
+    cm = center_color(mixed, spp=48)
+    cf = center_color(flat, spp=48)
+    np.testing.assert_allclose(cm, cf, atol=0.04)

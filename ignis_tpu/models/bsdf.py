@@ -296,6 +296,18 @@ def _want(present, kind):
     return present is None or int(kind) in present
 
 
+# pseudo-kind offset: `present` also carries (ROUGH_FLAG + kind) entries
+# for kinds that have at least one rough (alpha > DELTA_ALPHA) row in the
+# scene, so purely-smooth scenes statically prune the microfacet math
+# (vndf sampling, jacobians, GGX evals) from their shaders — e.g. the
+# diamond benchmark scene's shade stage carries no GGX code at all.
+ROUGH_FLAG = 100
+
+
+def _want_rough(present, kind):
+    return present is None or (ROUGH_FLAG + int(kind)) in present
+
+
 # ---------------------------------------------------------------------------
 # Radiance models (rad.art): mirror + straight transmission + lambert
 # reflection/transmission, combined with nested one-sample lobe selection
@@ -441,10 +453,11 @@ def eval_bsdf(mat: MatParams, frame: Frame, is_entering, in_dir: Vec3,
         res = cselect(kinds == BsdfKind.PHONG, _phong_eval(mat, wi, wo), res)
     if _want(present, BsdfKind.PLASTIC):
         res = cselect(kinds == BsdfKind.PLASTIC, _plastic_eval(mat, wi, wo), res)
-    if _want(present, BsdfKind.CONDUCTOR):
+    if _want_rough(present, BsdfKind.CONDUCTOR):
+        # smooth conductors are delta (eval black): only rough rows eval
         res = cselect(kinds == BsdfKind.CONDUCTOR,
                       _conductor_rough_eval(mat, wi, wo), res)
-    if _want(present, BsdfKind.DIELECTRIC):
+    if _want_rough(present, BsdfKind.DIELECTRIC):
         res = cselect(kinds == BsdfKind.DIELECTRIC,
                       _dielectric_rough_eval(mat, is_entering, wi, wo), res)
     if mat.q0 is not None and _want(present, BsdfKind.PRINCIPLED):
@@ -507,10 +520,11 @@ def pdf_bsdf(mat: MatParams, frame: Frame, is_entering, in_dir: Vec3,
         c = jnp.maximum(dot(r, wi), 0.0)
         pdf = jnp.where(kinds == BsdfKind.PHONG,
                         cosine_power_hemisphere_pdf(c, mat.p0), pdf)
-    if _want(present, BsdfKind.CONDUCTOR):
+    if _want_rough(present, BsdfKind.CONDUCTOR):
+        # smooth conductors/dielectrics are delta (pdf 0): only rough rows
         pdf = jnp.where(kinds == BsdfKind.CONDUCTOR,
                         _conductor_rough_pdf(mat, wi, wo), pdf)
-    if _want(present, BsdfKind.DIELECTRIC):
+    if _want_rough(present, BsdfKind.DIELECTRIC):
         pdf = jnp.where(kinds == BsdfKind.DIELECTRIC,
                         _dielectric_rough_pdf(mat, is_entering, wi, wo), pdf)
     if mat.q0 is not None and _want(present, BsdfKind.PRINCIPLED):
@@ -616,15 +630,19 @@ def sample_bsdf(mat: MatParams, frame: Frame, is_entering, out_dir: Vec3,
                                       jnp.maximum(cos_o, 0.0))
         cond_sm = BsdfSample(refl_smooth, one, mat.base.cmul(f_smooth), one,
                              true, cos_o > 0)
-        au = jnp.maximum(mat.p2, 1e-5)
-        av = jnp.maximum(mat.p3, 1e-5)
-        pdf_h = mf.pdf_vndf_ggx(wo, h_l, au, av)
-        pdf_r = pdf_h * jnp.abs(mf.reflective_jacobian(dot(h_l, wo)))
-        ev_r = _conductor_rough_eval(mat, refl_r, wo)
-        w_r = ev_r * safe_div(1.0, pdf_r)
-        cond_ro = BsdfSample(refl_r, pdf_r, w_r, one, false,
-                             (pdf_r > 1e-7) & (refl_r.z > 0) & (cos_o > 0))
-        cond_s = _sel_sample(mat.p2 > DELTA_ALPHA, cond_ro, cond_sm)
+        if _want_rough(present, BsdfKind.CONDUCTOR):
+            au = jnp.maximum(mat.p2, 1e-5)
+            av = jnp.maximum(mat.p3, 1e-5)
+            pdf_h = mf.pdf_vndf_ggx(wo, h_l, au, av)
+            pdf_r = pdf_h * jnp.abs(mf.reflective_jacobian(dot(h_l, wo)))
+            ev_r = _conductor_rough_eval(mat, refl_r, wo)
+            w_r = ev_r * safe_div(1.0, pdf_r)
+            cond_ro = BsdfSample(refl_r, pdf_r, w_r, one, false,
+                                 (pdf_r > 1e-7) & (refl_r.z > 0)
+                                 & (cos_o > 0))
+            cond_s = _sel_sample(mat.p2 > DELTA_ALPHA, cond_ro, cond_sm)
+        else:
+            cond_s = cond_sm
         out = sel(BsdfKind.CONDUCTOR, cond_s, out)
 
     # --- dielectric (smooth + rough + thin) --------------------------------
@@ -657,39 +675,44 @@ def sample_bsdf(mat: MatParams, frame: Frame, is_entering, out_dir: Vec3,
             d_w = d_w * adj
         diel_sm = BsdfSample(d_dir, one, d_w, d_eta, true, true)
 
-        cos_h_o = dot(h_l, wo)
-        frough = fr.fresnel_dielectric(k_ratio, jnp.abs(cos_h_o))
-        refl_h = reflect(wo, h_l)
-        refr_h = normalize(Vec3(
-            h_l.x * (k_ratio * cos_h_o - frough.cos_t) - wo.x * k_ratio,
-            h_l.y * (k_ratio * cos_h_o - frough.cos_t) - wo.y * k_ratio,
-            h_l.z * (k_ratio * cos_h_o - frough.cos_t) - wo.z * k_ratio))
-        dr_refl = u0 <= frough.factor
-        dr_dir = vselect(dr_refl, refl_h, refr_h)
-        alpha = jnp.maximum(mat.p2, 1e-5)
-        mpdf = mf.pdf_vndf_ggx(wo, h_l, alpha, alpha)
-        jac_refl = jnp.abs(mf.reflective_jacobian(cos_h_o))
-        jac_refr = jnp.abs(mf.refractive_jacobian(k_ratio, dot(h_l, dr_dir),
-                                                  cos_h_o))
-        sel_pdf = jnp.where(dr_refl, frough.factor * jac_refl,
-                            (1.0 - frough.factor) * jac_refr)
-        f_pdf = mpdf * sel_pdf
-        dr_eval = _dielectric_rough_eval(mat, is_entering, dr_dir, wo)
-        dr_w = dr_eval * safe_div(1.0, f_pdf)
-        if adjoint:
-            # eval carries the radiance-mode eta^2; divide it back out for
-            # importance transport
-            dr_w = dr_w * jnp.where((dr_dir.z * cos_o) < 0.0,
-                                    safe_div(1.0, k_ratio * k_ratio), 1.0)
-        dr_is_trans = (dr_dir.z * cos_o) < 0.0
-        dr_eta = jnp.where(dr_is_trans, k_ratio, one)
-        # Reject side-switching samples (reflection below horizon /
-        # transmission above): pdf/eval classification would disagree.
-        dr_consistent = dr_refl != dr_is_trans
-        diel_ro = BsdfSample(dr_dir, f_pdf, dr_w, dr_eta, false,
-                             (f_pdf > 1e-7) & (jnp.abs(cos_h_o) > EPS)
-                             & dr_consistent)
-        diel_s = _sel_sample((mat.p2 > DELTA_ALPHA) & ~thin, diel_ro, diel_sm)
+        if _want_rough(present, BsdfKind.DIELECTRIC):
+            cos_h_o = dot(h_l, wo)
+            frough = fr.fresnel_dielectric(k_ratio, jnp.abs(cos_h_o))
+            refl_h = reflect(wo, h_l)
+            refr_h = normalize(Vec3(
+                h_l.x * (k_ratio * cos_h_o - frough.cos_t) - wo.x * k_ratio,
+                h_l.y * (k_ratio * cos_h_o - frough.cos_t) - wo.y * k_ratio,
+                h_l.z * (k_ratio * cos_h_o - frough.cos_t) - wo.z * k_ratio))
+            dr_refl = u0 <= frough.factor
+            dr_dir = vselect(dr_refl, refl_h, refr_h)
+            alpha = jnp.maximum(mat.p2, 1e-5)
+            mpdf = mf.pdf_vndf_ggx(wo, h_l, alpha, alpha)
+            jac_refl = jnp.abs(mf.reflective_jacobian(cos_h_o))
+            jac_refr = jnp.abs(mf.refractive_jacobian(
+                k_ratio, dot(h_l, dr_dir), cos_h_o))
+            sel_pdf = jnp.where(dr_refl, frough.factor * jac_refl,
+                                (1.0 - frough.factor) * jac_refr)
+            f_pdf = mpdf * sel_pdf
+            dr_eval = _dielectric_rough_eval(mat, is_entering, dr_dir, wo)
+            dr_w = dr_eval * safe_div(1.0, f_pdf)
+            if adjoint:
+                # eval carries the radiance-mode eta^2; divide it back out
+                # for importance transport
+                dr_w = dr_w * jnp.where((dr_dir.z * cos_o) < 0.0,
+                                        safe_div(1.0, k_ratio * k_ratio),
+                                        1.0)
+            dr_is_trans = (dr_dir.z * cos_o) < 0.0
+            dr_eta = jnp.where(dr_is_trans, k_ratio, one)
+            # Reject side-switching samples (reflection below horizon /
+            # transmission above): pdf/eval classification would disagree.
+            dr_consistent = dr_refl != dr_is_trans
+            diel_ro = BsdfSample(dr_dir, f_pdf, dr_w, dr_eta, false,
+                                 (f_pdf > 1e-7) & (jnp.abs(cos_h_o) > EPS)
+                                 & dr_consistent)
+            diel_s = _sel_sample((mat.p2 > DELTA_ALPHA) & ~thin, diel_ro,
+                                 diel_sm)
+        else:
+            diel_s = diel_sm
         out = sel(BsdfKind.DIELECTRIC, diel_s, out)
 
     # --- passthrough -------------------------------------------------------

@@ -18,7 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core.vec import Color, Vec2, Vec3
-from ..models.bsdf import BsdfKind
+from ..models.bsdf import BsdfKind, ROUGH_FLAG
 from ..models.light import LightKind
 from ..ops.intersect import TRI_CHUNK, SphereSoup, TriSoup
 
@@ -1638,7 +1638,18 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
                               int(BsdfKind.RAD_ROOS))
                 or (r["kind"] == int(BsdfKind.DIELECTRIC) and r["p3"] > 0.5)
                 for r in mat_rows)),
-        bsdf_kinds=tuple(sorted({int(r["kind"]) for r in mat_rows})),
+        bsdf_kinds=tuple(sorted(
+            {int(r["kind"]) for r in mat_rows}
+            # ROUGH_FLAG pseudo-kinds: emitted only when a kind has at
+            # least one rough row, so all-smooth scenes statically drop
+            # the microfacet code from their shaders (models/bsdf.py)
+            | {ROUGH_FLAG + int(r["kind"]) for r in mat_rows
+               if r["kind"] in (int(BsdfKind.CONDUCTOR),
+                                int(BsdfKind.DIELECTRIC))
+               and max(float(r.get("p2", 0.0)),
+                       float(r.get("p3", 0.0))
+                       if r["kind"] == int(BsdfKind.CONDUCTOR) else 0.0)
+               > 1e-4})),
         light_kinds=tuple(sorted({int(r["kind"]) for r in l_rows})),
         env_cdf_method=env_cdf_method,
         debug_mode=_debug_mode_of(tech) if tech else 0,

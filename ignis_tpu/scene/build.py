@@ -18,7 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core.vec import Color, Vec2, Vec3
-from ..models.bsdf import BsdfKind, ROUGH_FLAG
+from ..models.bsdf import BsdfKind, ROUGH_FLAG, THIN_FLAG
 from ..models.light import LightKind
 from ..ops.intersect import TRI_CHUNK, SphereSoup, TriSoup
 
@@ -1649,7 +1649,10 @@ def build_scene(scene: Scene, overrides: Optional[dict] = None) -> BuiltScene:
                and max(float(r.get("p2", 0.0)),
                        float(r.get("p3", 0.0))
                        if r["kind"] == int(BsdfKind.CONDUCTOR) else 0.0)
-               > 1e-4})),
+               > 1e-4}
+            | {THIN_FLAG + int(BsdfKind.DIELECTRIC) for r in mat_rows
+               if r["kind"] == int(BsdfKind.DIELECTRIC)
+               and float(r.get("p3", 0.0)) > 0.5})),
         light_kinds=tuple(sorted({int(r["kind"]) for r in l_rows})),
         env_cdf_method=env_cdf_method,
         debug_mode=_debug_mode_of(tech) if tech else 0,

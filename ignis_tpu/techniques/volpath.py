@@ -182,7 +182,19 @@ def make_vol_bounce(scene: SceneData, settings: RenderSettings, n,
             stmax = jnp.where(lp.infinite, FLT_MAX, 1.0 - OFFSET)
             shadow_rays = Rays(surf.point, sdir,
                                jnp.broadcast_to(OFFSET, n), stmax)
-            if settings.transparent_shadows:
+            # Pay the crossing walk only for GLASSY transmitters (thin
+            # dielectric / BRTDfunc): passthrough-only media scenes (the
+            # participating_media benchmark) keep the reference's cheap
+            # current-medium approximation — the walk's 4 extra closest
+            # hits per NEE cost it 2.7x (BENCH round 5).
+            from ..models.bsdf import BsdfKind, THIN_FLAG
+            glassy = settings.transparent_shadows and (
+                settings.bsdf_kinds is None
+                or (THIN_FLAG + int(BsdfKind.DIELECTRIC))
+                in settings.bsdf_kinds
+                or int(BsdfKind.RAD_BRTDF) in settings.bsdf_kinds
+                or int(BsdfKind.RAD_ROOS) in settings.bsdf_kinds)
+            if glassy:
                 # crossing walk with per-segment medium attenuation,
                 # starting in the path's CURRENT medium
                 from .path import shadow_transmittance

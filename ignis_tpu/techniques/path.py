@@ -244,16 +244,31 @@ def shadow_transmittance(scene: SceneData, settings, rays: Rays,
         thin_ok = (g(m.p3) > 0.5) & (g(m.p2) <= DELTA_ALPHA)
         t_pass = base                         # tinted passthrough
         t_thin = extra * (1.0 - f_th)         # thin glass: kt*(1-F_thin)
-        t_rad = extra                         # BRTDfunc trns_spec
         through = Color(jnp.zeros(n), jnp.zeros(n), jnp.zeros(n))
         through = cselect(kind == BsdfKind.PASSTHROUGH, t_pass, through)
         through = cselect((kind == BsdfKind.DIELECTRIC) & thin_ok, t_thin,
                           through)
         if settings.bsdf_kinds is None or \
-                int(BsdfKind.RAD_BRTDF) in settings.bsdf_kinds or \
+                int(BsdfKind.RAD_BRTDF) in settings.bsdf_kinds:
+            # BRTDfunc: specular transmission color is stored in `extra`
+            through = cselect(kind == BsdfKind.RAD_BRTDF, extra, through)
+        if settings.bsdf_kinds is None or \
                 int(BsdfKind.RAD_ROOS) in settings.bsdf_kinds:
-            is_rad = (kind == BsdfKind.RAD_BRTDF) | (kind == BsdfKind.RAD_ROOS)
-            through = cselect(is_rad, t_rad, through)
+            # Roos: `base` holds (trns_w, trns_p, trns_q) MODEL PARAMS —
+            # compute the angular tau (rad.art make_rad_roos_bsdf), not a
+            # color read (that tinted three-planes-roos wrong, round 5)
+            tw, tp, tq = base.r, base.g, jnp.maximum(base.b, 1e-4)
+            z = jnp.arccos(jnp.clip(cos_h, 0.0, 1.0 - 1e-7)) * 0.636619772368
+            a_c = 8.0
+            alpha_t = 5.2 + 0.7 * tq
+            gamma_t = (5.26 + 0.06 * tp) + (0.73 + 0.04 * tp) * tq
+            b_t = 0.25 / tq
+            c_t = 1.0 - a_c - b_t
+            tau = tw * (1.0 - a_c * jnp.power(z, alpha_t) - b_t * z * z
+                        - c_t * jnp.power(z, gamma_t))
+            tau = jnp.clip(tau, 0.0, 1.0)
+            through = cselect(kind == BsdfKind.RAD_ROOS,
+                              Color(tau, tau, tau), through)
         crossed = alive & found
         tint = cselect(crossed, tint.cmul(tr).cmul(through),
                        cselect(alive, tint.cmul(tr), tint))

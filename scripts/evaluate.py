@@ -47,6 +47,9 @@ SPP_OVERRIDE = {
     # 11.4-degree soft sun through a roughness-0.5 principled cone:
     # cone-sampling + glossy noise dominates the robust metric at 64spp
     "cycles-sun": 256,
+    # 0.95-albedo cavity at depth 14: deep-path variance floor ~0.01 at
+    # 64spp (the mean bias is fixed by the DEPTH_OVERRIDE below)
+    "volume": 256,
 }
 
 # The golden's OWN generation parameters where they contradict the
@@ -85,9 +88,11 @@ THRESHOLD_OVERRIDE = {
 # gated on pairwise METHOD CONSISTENCY (same converged image).
 SUBSTITUTED_SCENES = {
     "cycles-env", "cycles-principled",
-    "env4k-base", "env4k-conditional", "env4k-hierachical",
+    "env4k-base", "env4k-conditional", "env4k-hierachical", "env4k-sat",
 }
-ENV4K_GROUP = ["env4k-base", "env4k-conditional", "env4k-hierachical"]
+# env4k-base declares NO lights (the env light lives only in the method
+# variants), so it is excluded from the consistency comparison
+ENV4K_GROUP = ["env4k-conditional", "env4k-hierachical", "env4k-sat"]
 BLOCKED_SCENES = {}
 
 # Goldens that are NOT reproducible from the exported JSON — the bundled
@@ -152,7 +157,7 @@ DEFAULT_SCENES = [
     # substituted-asset scenes (see SUBSTITUTED_SCENES): run with the
     # generated env HDR; env4k-* gated on method consistency.
     "cycles-env", "cycles-principled",
-    "env4k-base", "env4k-conditional", "env4k-hierachical",
+    "env4k-base", "env4k-conditional", "env4k-hierachical", "env4k-sat",
 ]
 SKY_SCENES = ["sky-uniform", "sky-cloudy", "sky-clear", "sky-intermediate",
               "sky-perez1", "sky-perez2", "sky-perez3"]

@@ -256,12 +256,12 @@ def main():
     # reported as its error string instead of poisoning the device for
     # the rest of the bench.
     import subprocess
-    for key, flag in (("bigscene_fwd_stream", "1"),
-                      ("bigscene_fwd_xla_fallback", "0")):
+
+    def leg(key, flag, mode, tris_key):
         try:
             env = dict(os.environ, IGNIS_TPU_PALLAS=flag)
             r = subprocess.run(
-                [sys.executable, __file__, "--bigscene-only"],
+                [sys.executable, __file__, mode],
                 capture_output=True, text=True, timeout=900, env=env)
             lines = [l for l in (r.stdout or "").splitlines()
                      if l.startswith("{")]
@@ -270,18 +270,31 @@ def main():
                 detail[key + "_error"] = (sub.get("error")
                                           or (r.stderr or "no output")[-160:])
             else:
-                detail["bigscene_tris"] = sub["tris"]
+                detail[tris_key] = sub["tris"]
                 detail[key] = sub["msps"]
         except subprocess.TimeoutExpired:
             detail[key + "_error"] = "timeout (900s)"
         except Exception as e:
             detail[key + "_error"] = str(e)[:160]
-    if "bigscene_fwd_stream" in detail and \
-            "bigscene_fwd_xla_fallback" in detail:
-        fb = detail["bigscene_fwd_xla_fallback"]
-        if fb > 0:
-            detail["bigscene_stream_over_fallback"] = round(
-                detail["bigscene_fwd_stream"] / fb, 2)
+
+    # largest streaming-capable scene (566k tris) + the XLA fallback on
+    # the same scene (recorded honestly: the lockstep walk currently
+    # FAULTS the TPU above a few hundred k tris — that error string is
+    # the measurement), and a shared small scene where BOTH paths run so
+    # a direct pallas/xla ratio exists.
+    leg("bigscene_fwd_stream", "1", "--bigscene-only", "bigscene_tris")
+    leg("bigscene_fwd_xla_fallback", "0", "--bigscene-only", "bigscene_tris")
+    leg("midscene_fwd_pallas", "1", "--midscene-only", "midscene_tris")
+    leg("midscene_fwd_xla", "0", "--midscene-only", "midscene_tris")
+    if detail.get("midscene_fwd_xla", 0) > 0 and \
+            "midscene_fwd_pallas" in detail:
+        detail["midscene_pallas_over_xla"] = round(
+            detail["midscene_fwd_pallas"] / detail["midscene_fwd_xla"], 1)
+    if detail.get("bigscene_fwd_xla_fallback", 0) > 0 and \
+            "bigscene_fwd_stream" in detail:
+        detail["bigscene_stream_over_fallback"] = round(
+            detail["bigscene_fwd_stream"]
+            / detail["bigscene_fwd_xla_fallback"], 2)
 
     g = geomean(fwd_vals)
     diamond = detail.get("diamond_scene_fwd", 0.0)
@@ -301,19 +314,28 @@ BIG_SCENE = {
                              0, 0, 0, 1]},
     "film": {"size": [512, 512]},
     "bsdfs": [{"type": "diffuse", "name": "w"}],
-    "shapes": [{"type": "icosphere", "name": "s", "radius": 1.2,
-                "subdivisions": 8}],   # 20 * 4^8 = 1,310,720 tris
+    # 566,528 tris: the largest size whose streaming-sweep node table +
+    # chunk work list fit the 1MB SMEM budget (ops/pallas_bvh.py
+    # stream_smem_bytes; the BVH8 builder emits ~4 nodes per 512 tris).
+    # Bigger scenes fall back to the XLA lockstep walk — which currently
+    # faults the TPU above ~1M tris (reported honestly by the subprocess
+    # isolation below; the SMEM-resident child table is the next
+    # scaling bottleneck to lift).
+    "shapes": [{"type": "uvsphere", "name": "s", "radius": 1.2,
+                "stacks": 400, "slices": 500}],
     "entities": [{"name": "s", "shape": "s", "bsdf": "w"}],
     "lights": [{"type": "env", "name": "e", "radiance": 1.0}],
 }
 
 
-def bigscene_only():
-    """Subprocess leg: render the 1.31M-tri scene with the current
-    IGNIS_TPU_PALLAS setting and print one JSON line."""
+def scene_leg(shape):
+    """Subprocess leg: render BIG_SCENE with the given shape under the
+    current IGNIS_TPU_PALLAS setting; print one JSON line."""
     import ignis_tpu
     try:
-        rt = ignis_tpu.loadFromString(json.dumps(BIG_SCENE), spi=4)
+        sc = dict(BIG_SCENE)
+        sc["shapes"] = [shape]
+        rt = ignis_tpu.loadFromString(json.dumps(sc), spi=4)
         n_tri = int(rt.scene.tris.v0.x.shape[0])
         ms = fwd_msps(rt, 512 * 512 * 4)
         print(json.dumps({"tris": n_tri, "msps": round(ms, 3)}))
@@ -323,6 +345,9 @@ def bigscene_only():
 
 if __name__ == "__main__":
     if "--bigscene-only" in sys.argv:
-        bigscene_only()
+        scene_leg(BIG_SCENE["shapes"][0])
+    elif "--midscene-only" in sys.argv:
+        scene_leg({"type": "uvsphere", "name": "s", "radius": 1.2,
+                   "stacks": 50, "slices": 100})   # 15,360 tris (padded)
     else:
         main()

@@ -54,9 +54,21 @@ LOCAL_MASK = 0x7F        # 7-bit in-chunk index inside the packed key
 # chunk DMA), gated only by the node-table VMEM budget.
 MAX_TRIS = int(_os.environ.get("IGNIS_TPU_BVH_MAX_TRIS", str(192 * 1024)))
 MAX_NODES = 4096
-# streaming variant: boxes stay VMEM-resident, triangles stream from HBM
-MAX_NODES_STREAM = int(_os.environ.get("IGNIS_TPU_BVH_MAX_NODES_STREAM",
-                                       str(32 * 1024)))
+# streaming variant: boxes stay VMEM-resident, triangles stream from HBM.
+# The hard limit is SMEM (1 MB/core): the child table costs ~512 B/node
+# and the chunk work list ~32 B/chunk there (measured from the Mosaic
+# allocator error at 1.44M tris, round 5: 'u8[2109440] would exceed
+# memory (size=1048576)' for s32[4115,8]), so the practical stream cap
+# is ~1.5k nodes / ~0.9M tris — estimate the footprint instead of a
+# node count so over-budget scenes FALL BACK to the XLA walk instead of
+# failing to compile.
+SMEM_BUDGET = int(_os.environ.get("IGNIS_TPU_BVH_SMEM_BUDGET",
+                                  str(900 * 1024)))
+
+
+def stream_smem_bytes(n_nodes: int, n_tris: int) -> int:
+    n_chunks = n_tris // CHUNK
+    return n_nodes * 512 + (n_chunks + 1) * 32 + (STACK_CAP + 2) * 32
 
 
 def _bvh_kernel(n_chunks: int, any_hit: bool, stream: bool,

@@ -58,11 +58,13 @@ def _use_pallas_bvh(scene: SceneData) -> bool:
     stream their chunks from HBM (double-buffered DMA sweep,
     ops/pallas_bvh.py stream=True), so only the node table bounds it."""
     from ..ops.intersect import _pallas_available
-    from ..ops.pallas_bvh import MAX_NODES, MAX_NODES_STREAM, MAX_TRIS
+    from ..ops.pallas_bvh import (MAX_NODES, MAX_TRIS, SMEM_BUDGET,
+                                  stream_smem_bytes)
     n_nodes = scene.bvh.chunk.child.shape[0]
-    in_vmem = (scene.tris.v0.x.shape[0] <= MAX_TRIS
-               and n_nodes <= MAX_NODES)
-    return _pallas_available() and (in_vmem or n_nodes <= MAX_NODES_STREAM)
+    n_tris = scene.tris.v0.x.shape[0]
+    in_vmem = n_tris <= MAX_TRIS and n_nodes <= MAX_NODES
+    stream_ok = stream_smem_bytes(n_nodes, n_tris) <= SMEM_BUDGET
+    return _pallas_available() and (in_vmem or stream_ok)
 
 
 import os as _os

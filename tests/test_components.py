@@ -298,6 +298,10 @@ def _oracle_model_eval(ndim, trees, wi, wo):
     nwo = (-wo_c[0], -wo_c[1], -wo_c[2])
     nwi = (-wi_c[0], -wi_c[1], -wi_c[2])
     if in_front and out_front:
+        # 4D: straight reflection mapping; 3D: transposed like bt
+        if ndim == 4:
+            return component_eval(trees.get("front_reflection"), wi_c, wo_c,
+                                  wi[2])
         return component_eval(trees.get("front_reflection"), nwo, nwi,
                               wi[2])
     if in_front and not out_front:

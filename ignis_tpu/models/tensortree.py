@@ -94,6 +94,29 @@ def _eval_component(comp: TTComponentData, ndim: int, wi: Vec3, wo: Vec3,
     else:
         ix, iy = _disk_to_square(-wi.x, -wi.y)
         coords = (ox, oy, ix, iy) if swap_io else (ix, iy, ox, oy)
+    import os
+    if os.environ.get("IGNIS_TT_FILTER", "0") == "1":
+        # experimental multilinear filtering over the baked grid (cell-
+        # center aligned): 2^ndim gathers
+        los, fracs = [], []
+        for ax, c in enumerate(coords):
+            res = comp.grid.shape[ax]
+            fc = c * res - 0.5
+            lo = jnp.floor(fc)
+            fracs.append(fc - lo)
+            los.append(jnp.clip(lo.astype(jnp.int32), 0, res - 1))
+        acc = 0.0
+        ndim_g = len(coords)
+        for corner in range(1 << ndim_g):
+            w = 1.0
+            idxs = []
+            for ax in range(ndim_g):
+                hi = (corner >> ax) & 1
+                res = comp.grid.shape[ax]
+                idxs.append(jnp.clip(los[ax] + hi, 0, res - 1))
+                w = w * (fracs[ax] if hi else (1.0 - fracs[ax]))
+            acc = acc + comp.grid[tuple(idxs)] * w
+        return acc * jnp.abs(wi.z)
     idx = []
     for ax, c in enumerate(coords):
         res = comp.grid.shape[ax]
